@@ -1,0 +1,28 @@
+"""bayesnmf_tpu — TPU-native Bayesian NMF with learned rank.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+jennalandy/bayesNMF R package: Gibbs sampling for M ≈ P diag(A) E with
+Poisson/Normal likelihoods, truncnormal/exponential/gamma priors, optional
+Metropolis-Hastings accelerated updates, and SBFI/BFI/BIC automatic rank
+learning — engineered as jitted scans over device meshes with vmapped chain
+ensembles rather than a single-threaded in-place loop.
+"""
+
+from .config import (  # noqa: F401
+    ConvergenceControl,
+    ModelError,
+    ModelSpec,
+    RunConfig,
+    default_MH,
+)
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy imports keep `import bayesnmf_tpu` light; heavy modules load on use.
+    if name in ("GibbsSampler", "fit"):
+        from .models.sampler import GibbsSampler, fit
+
+        return {"GibbsSampler": GibbsSampler, "fit": fit}[name]
+    raise AttributeError(name)

@@ -1,0 +1,523 @@
+"""Gibbs conditional updates, specialized at trace time on ModelSpec.
+
+TPU-first re-design of the reference's L3 sampling layer
+(/root/reference/R/sample_Pn.R, sample_En.R, sample_params.R,
+sample_priors.R). Key structural differences from the R package, all
+distribution-preserving:
+
+  * Incremental Mhat. The reference recomputes two full K×G matmuls per
+    column update (sample_Pn.R:136,152) → O(N²KG) per sweep. Here Mhat is
+    carried through the sweep and updated with rank-1 terms → O(NKG).
+  * The Poisson-Gibbs path samples ALL of P (then all of E) in one
+    vectorized conjugate draw: given the latent counts Z, the full
+    conditional factorizes elementwise, so the reference's sequential
+    n-loop (sample_params.R:56-58) and its joint draw coincide exactly.
+  * The MH / normal-likelihood paths keep the exact sequential-over-N
+    semantics via lax.fori_loop (column n's conditional depends on the
+    freshly updated columns 1..n-1).
+  * Latent counts Z are never materialized; only the marginal sums
+    consumed downstream are produced (ops/allocation.py).
+  * Prior-parameter sweeps are elementwise-independent across (k,n)/(n,g)
+    and run as single fused vector ops instead of per-n loops
+    (sample_priors.R:150-200).
+
+Documented corrections of reference quirks (we match distributions, not
+bugs — see SURVEY.md §7 "hard parts"):
+  * sample_Mu_Pn/En pass the posterior *variance* as R's ``sd`` argument
+    (sample_priors.R:219,235); we use sd = sqrt(variance).
+  * sample_Sigmasq_En uses hyperparameter A_e where B_e is intended in the
+    rate (sample_priors.R:267); we use B_e.
+  * the NaN-overflow fallback ladder in sample_An references an undefined
+    variable (sample_params.R:156); our log-odds/sigmoid formulation cannot
+    produce those NaNs, and any residual NaN resolves to p = 1/2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelSpec
+from ..ops import distributions as dist
+from ..ops import math as m
+from ..ops.allocation import allocate_counts
+
+_EPS = 1e-30
+
+
+def _bcast_p(hp, name, spec):
+    """Hyperprior entry broadcast to (K, N)."""
+    return jnp.broadcast_to(jnp.asarray(hp[name], jnp.float32), (spec.K, spec.N))
+
+
+def _bcast_e(hp, name, spec):
+    return jnp.broadcast_to(jnp.asarray(hp[name], jnp.float32), (spec.N, spec.G))
+
+
+# ---------------------------------------------------------------------------
+# prior parameter initialization + Gibbs sweeps (maps C5)
+# ---------------------------------------------------------------------------
+
+
+def init_prior_params(spec: ModelSpec, hp: dict, key) -> dict:
+    """Draw prior parameters from their hyperpriors.
+
+    Parity: init_prior_params_ (sample_priors.R:15-141), vectorized over all
+    (k,n)/(n,g) at once.
+    """
+    ks = jax.random.split(key, 4)
+    prior = {}
+    if spec.prior == "truncnormal":
+        prior["Mu_p"] = dist.normal(ks[0], _bcast_p(hp, "m_p", spec), _bcast_p(hp, "s_p", spec))
+        prior["Sigmasq_p"] = dist.inv_gamma(ks[1], _bcast_p(hp, "a_p", spec), _bcast_p(hp, "b_p", spec))
+        prior["Mu_e"] = dist.normal(ks[2], _bcast_e(hp, "m_e", spec), _bcast_e(hp, "s_e", spec))
+        prior["Sigmasq_e"] = dist.inv_gamma(ks[3], _bcast_e(hp, "a_e", spec), _bcast_e(hp, "b_e", spec))
+    elif spec.prior == "exponential":
+        prior["Lambda_p"] = dist.gamma(ks[0], _bcast_p(hp, "a_p", spec), _bcast_p(hp, "b_p", spec))
+        prior["Lambda_e"] = dist.gamma(ks[1], _bcast_e(hp, "a_e", spec), _bcast_e(hp, "b_e", spec))
+    else:  # gamma
+        prior["Beta_p"] = dist.gamma(ks[0], _bcast_p(hp, "a_p", spec), _bcast_p(hp, "b_p", spec))
+        prior["Alpha_p"] = dist.gamma(ks[1], _bcast_p(hp, "c_p", spec), _bcast_p(hp, "d_p", spec))
+        prior["Beta_e"] = dist.gamma(ks[2], _bcast_e(hp, "a_e", spec), _bcast_e(hp, "b_e", spec))
+        prior["Alpha_e"] = dist.gamma(ks[3], _bcast_e(hp, "c_e", spec), _bcast_e(hp, "d_e", spec))
+    if spec.likelihood == "normal":
+        # fixed InvGamma(alpha, beta) prior for sigmasq, defaults 3/3
+        # (bayesNMF_sampler.R:222-230); these are never resampled.
+        prior["Alpha_sig"] = jnp.broadcast_to(jnp.asarray(hp.get("alpha", 3.0), jnp.float32), (spec.G,))
+        prior["Beta_sig"] = jnp.broadcast_to(jnp.asarray(hp.get("beta", 3.0), jnp.float32), (spec.G,))
+    return prior
+
+
+def sample_prior_params(spec: ModelSpec, hp: dict, params: dict, prior: dict, key) -> dict:
+    """One Gibbs sweep over prior parameters.
+
+    Parity: sample_prior_params_ (sample_priors.R:150-200). All conditionals
+    are elementwise-independent, so each is one fused vector op.
+    """
+    P, E = params["P"], params["E"]
+    new = dict(prior)
+    ks = jax.random.split(key, 4)
+    if spec.prior == "truncnormal":
+        # Mu | P: normal-normal conjugate (sample_priors.R:214-236; corrected
+        # to use sd = sqrt(posterior variance)).
+        S_p, M_p = _bcast_p(hp, "s_p", spec), _bcast_p(hp, "m_p", spec)
+        num = M_p / S_p + P / prior["Sigmasq_p"]
+        den = 1.0 / S_p + 1.0 / prior["Sigmasq_p"]
+        new["Mu_p"] = dist.normal(ks[0], num / den, 1.0 / den)
+        S_e, M_e = _bcast_e(hp, "s_e", spec), _bcast_e(hp, "m_e", spec)
+        num_e = M_e / S_e + E / prior["Sigmasq_e"]
+        den_e = 1.0 / S_e + 1.0 / prior["Sigmasq_e"]
+        new["Mu_e"] = dist.normal(ks[1], num_e / den_e, 1.0 / den_e)
+        # Sigmasq | P, Mu: InvGamma (sample_priors.R:246-270; corrected B_e).
+        dp = P - new["Mu_p"]
+        new["Sigmasq_p"] = dist.inv_gamma(
+            ks[2], _bcast_p(hp, "a_p", spec) + 0.5, _bcast_p(hp, "b_p", spec) + 0.5 * dp * dp
+        )
+        de = E - new["Mu_e"]
+        new["Sigmasq_e"] = dist.inv_gamma(
+            ks[3], _bcast_e(hp, "a_e", spec) + 0.5, _bcast_e(hp, "b_e", spec) + 0.5 * de * de
+        )
+    elif spec.prior == "exponential":
+        # Lambda | x ~ Gamma(a+1, b+x) (sample_priors.R:284-308)
+        new["Lambda_p"] = dist.gamma(
+            ks[0], _bcast_p(hp, "a_p", spec) + 1.0, _bcast_p(hp, "b_p", spec) + P
+        )
+        new["Lambda_e"] = dist.gamma(
+            ks[1], _bcast_e(hp, "a_e", spec) + 1.0, _bcast_e(hp, "b_e", spec) + E
+        )
+    else:  # gamma
+        # Beta | Alpha, x ~ Gamma(a+Alpha, b+x) (sample_priors.R:323-345),
+        # then Alpha | Beta, x via slice sampling (replaces armspp ARMS,
+        # sample_priors.R:356-397).
+        new["Beta_p"] = dist.gamma(
+            ks[0], _bcast_p(hp, "a_p", spec) + prior["Alpha_p"], _bcast_p(hp, "b_p", spec) + P
+        )
+        new["Alpha_p"] = dist.slice_sample_logconcave(
+            ks[1],
+            prior["Alpha_p"],
+            (
+                _bcast_p(hp, "c_p", spec),
+                _bcast_p(hp, "d_p", spec),
+                jnp.log(jnp.maximum(new["Beta_p"], _EPS)),
+                jnp.log(jnp.maximum(P, _EPS)),
+            ),
+            dist.gamma_shape_cond_logpdf,
+        )
+        new["Beta_e"] = dist.gamma(
+            ks[2], _bcast_e(hp, "a_e", spec) + prior["Alpha_e"], _bcast_e(hp, "b_e", spec) + E
+        )
+        new["Alpha_e"] = dist.slice_sample_logconcave(
+            ks[3],
+            prior["Alpha_e"],
+            (
+                _bcast_e(hp, "c_e", spec),
+                _bcast_e(hp, "d_e", spec),
+                jnp.log(jnp.maximum(new["Beta_e"], _EPS)),
+                jnp.log(jnp.maximum(E, _EPS)),
+            ),
+            dist.gamma_shape_cond_logpdf,
+        )
+    return new
+
+
+# ---------------------------------------------------------------------------
+# prior draws of P / E columns (used at init and for excluded signatures)
+# ---------------------------------------------------------------------------
+
+
+def _prior_draw_P(spec: ModelSpec, prior: dict, key):
+    """Draw a full (K, N) P from the prior (init_params path, sample_Pn.R:12-29)."""
+    if spec.prior == "truncnormal":
+        return dist.truncnorm_nonneg(key, prior["Mu_p"], prior["Sigmasq_p"])
+    if spec.prior == "exponential":
+        return dist.exponential(key, prior["Lambda_p"])
+    return dist.gamma(key, prior["Alpha_p"], prior["Beta_p"])
+
+
+def _prior_draw_E(spec: ModelSpec, prior: dict, key):
+    if spec.prior == "truncnormal":
+        return dist.truncnorm_nonneg(key, prior["Mu_e"], prior["Sigmasq_e"])
+    if spec.prior == "exponential":
+        return dist.exponential(key, prior["Lambda_e"])
+    return dist.gamma(key, prior["Alpha_e"], prior["Beta_e"])
+
+
+# ---------------------------------------------------------------------------
+# sequential P sweep (normal likelihood and Poisson+MH paths) — maps C7
+# ---------------------------------------------------------------------------
+
+
+def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, accept_all):
+    """Sample all N columns of P sequentially from their full conditionals.
+
+    Parity: sample_Pn / sample_Pn_normal / MH_Pn_poisson (sample_Pn.R:11-248)
+    with incremental rank-1 Mhat maintenance. Returns (P, Mhat, acc_P).
+    """
+    E, A = params["E"], params["A"]
+    sigmasq = params.get("sigmasq")
+    K, N, G = spec.K, spec.N, spec.G
+    keys = jax.random.split(key, N)
+    mh = spec.likelihood == "poisson" and spec.MH
+
+    def body(n, carry):
+        P, Mhat, acc_P = carry
+        k_prior, k_prop, k_u = jax.random.split(keys[n], 3)
+        A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
+        E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)  # (G,)
+        P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)  # (K,)
+
+        # --- full-conditional (or MH-proposal) mean/variance -------------
+        # (get_mu_sigmasq_Pn_normal, sample_Pn.R:132-187)
+        if mh:
+            sig_mat = jnp.maximum(Mhat, m.MHAT_FLOOR)  # proposal: var = mean
+        else:
+            sig_mat = jnp.broadcast_to(sigmasq[None, :], (K, G))
+        Mhat_no_n = Mhat - A_n * jnp.outer(P_n, E_n)
+        mu1 = m.dot_f32((data - Mhat_no_n) / sig_mat, E_n)
+        den = A_n * m.dot_f32(1.0 / sig_mat, E_n * E_n)
+        if spec.prior == "exponential":
+            Lam_n = jax.lax.dynamic_index_in_dim(prior["Lambda_p"], n, axis=1, keepdims=False)
+            den_s = jnp.maximum(den, _EPS)
+            mu = (mu1 - Lam_n) / den_s
+            var = 1.0 / den_s
+        else:  # truncnormal
+            Mu_n = jax.lax.dynamic_index_in_dim(prior["Mu_p"], n, axis=1, keepdims=False)
+            Sq_n = jax.lax.dynamic_index_in_dim(prior["Sigmasq_p"], n, axis=1, keepdims=False)
+            den2 = den + 1.0 / Sq_n
+            mu = (mu1 + Mu_n / Sq_n) / den2
+            var = 1.0 / den2
+        cond_draw = dist.truncnorm_nonneg(k_prop, mu, var)
+
+        # prior fallback: excluded signature or all-zero exposure row
+        # (sample_Pn.R:12-13, 56)
+        prior_col = _prior_col_P(spec, prior, n, k_prior)
+        inactive_E = jnp.sum(E_n * E_n) <= 0.0
+        proposal = jnp.where(inactive_E, prior_col, cond_draw)
+
+        if mh:
+            # --- elementwise MH correction (MH_Pn_poisson, :199-248) -----
+            Mhat_prop = Mhat + A_n * jnp.outer(proposal - P_n, E_n)
+            lam_old = jnp.maximum(Mhat, m.MHAT_FLOOR)
+            lam_new = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
+            lp_delta = jnp.sum(
+                data * (jnp.log(lam_new) - jnp.log(lam_old)) - (lam_new - lam_old),
+                axis=1,
+            )  # poisson_new - poisson_old, lgamma terms cancel (K,)
+            vs_old = jnp.maximum(Mhat_prop, 1.0)  # sigmasq for normal_old
+            vs_new = jnp.maximum(Mhat, 1.0)       # sigmasq for normal_new
+            r_old = data - Mhat
+            r_new = data - Mhat_prop
+            ln_old = jnp.sum(-0.5 * r_old * r_old / vs_old - 0.5 * jnp.log(vs_old), axis=1)
+            ln_new = jnp.sum(-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new), axis=1)
+            log_ratio = lp_delta + ln_old - ln_new
+            ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
+            ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
+            u = jax.random.uniform(k_u, (K,))
+            if accept_all is True:
+                take = jnp.ones((K,), bool)
+                ratio_rec = jnp.ones((K,))
+            elif accept_all is False:
+                take = u < ratio
+                ratio_rec = ratio
+            else:
+                take = jnp.where(accept_all, jnp.ones((K,), bool), u < ratio)
+                ratio_rec = jnp.where(accept_all, jnp.ones((K,)), ratio)
+            mh_col = jnp.where(take, proposal, P_n)
+            new_col = jnp.where(A_n == 0, prior_col, mh_col)
+            acc_P = acc_P.at[:, n].set(jnp.where(A_n == 0, acc_P[:, n], ratio_rec))
+        else:
+            new_col = jnp.where(A_n == 0, prior_col, proposal)
+
+        Mhat = Mhat + A_n * jnp.outer(new_col - P_n, E_n)
+        P = jax.lax.dynamic_update_index_in_dim(P, new_col, n, axis=1)
+        return (P, Mhat, acc_P)
+
+    P, Mhat, acc_P = jax.lax.fori_loop(0, N, body, (params["P"], Mhat, acc_P))
+    return P, Mhat, acc_P
+
+
+def _prior_col_P(spec, prior, n, key):
+    if spec.prior == "truncnormal":
+        return dist.truncnorm_nonneg(
+            key,
+            jax.lax.dynamic_index_in_dim(prior["Mu_p"], n, axis=1, keepdims=False),
+            jax.lax.dynamic_index_in_dim(prior["Sigmasq_p"], n, axis=1, keepdims=False),
+        )
+    if spec.prior == "exponential":
+        return dist.exponential(
+            key, jax.lax.dynamic_index_in_dim(prior["Lambda_p"], n, axis=1, keepdims=False)
+        )
+    return dist.gamma(
+        key,
+        jax.lax.dynamic_index_in_dim(prior["Alpha_p"], n, axis=1, keepdims=False),
+        jax.lax.dynamic_index_in_dim(prior["Beta_p"], n, axis=1, keepdims=False),
+    )
+
+
+def _prior_row_E(spec, prior, n, key):
+    if spec.prior == "truncnormal":
+        return dist.truncnorm_nonneg(
+            key,
+            jax.lax.dynamic_index_in_dim(prior["Mu_e"], n, axis=0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(prior["Sigmasq_e"], n, axis=0, keepdims=False),
+        )
+    if spec.prior == "exponential":
+        return dist.exponential(
+            key, jax.lax.dynamic_index_in_dim(prior["Lambda_e"], n, axis=0, keepdims=False)
+        )
+    return dist.gamma(
+        key,
+        jax.lax.dynamic_index_in_dim(prior["Alpha_e"], n, axis=0, keepdims=False),
+        jax.lax.dynamic_index_in_dim(prior["Beta_e"], n, axis=0, keepdims=False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequential E sweep — maps C8, exact mirror over rows/G (sample_En.R)
+# ---------------------------------------------------------------------------
+
+
+def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, accept_all):
+    P, A = params["P"], params["A"]
+    sigmasq = params.get("sigmasq")
+    K, N, G = spec.K, spec.N, spec.G
+    keys = jax.random.split(key, N)
+    mh = spec.likelihood == "poisson" and spec.MH
+
+    def body(n, carry):
+        E, Mhat, acc_E = carry
+        k_prior, k_prop, k_u = jax.random.split(keys[n], 3)
+        A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
+        P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)  # (K,)
+        E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)  # (G,)
+
+        if mh:
+            sig_mat = jnp.maximum(Mhat, m.MHAT_FLOOR)
+        else:
+            sig_mat = jnp.broadcast_to(sigmasq[None, :], (K, G))
+        Mhat_no_n = Mhat - A_n * jnp.outer(P_n, E_n)
+        mu1 = m.dot_f32(P_n, (data - Mhat_no_n) / sig_mat)  # (G,)
+        den = A_n * m.dot_f32(P_n * P_n, 1.0 / sig_mat)  # (G,)
+        if spec.prior == "exponential":
+            Lam_n = jax.lax.dynamic_index_in_dim(prior["Lambda_e"], n, axis=0, keepdims=False)
+            den_s = jnp.maximum(den, _EPS)
+            mu = (mu1 - Lam_n) / den_s
+            var = 1.0 / den_s
+        else:
+            Mu_n = jax.lax.dynamic_index_in_dim(prior["Mu_e"], n, axis=0, keepdims=False)
+            Sq_n = jax.lax.dynamic_index_in_dim(prior["Sigmasq_e"], n, axis=0, keepdims=False)
+            den2 = den + 1.0 / Sq_n
+            mu = (mu1 + Mu_n / Sq_n) / den2
+            var = 1.0 / den2
+        cond_draw = dist.truncnorm_nonneg(k_prop, mu, var)
+
+        prior_row = _prior_row_E(spec, prior, n, k_prior)
+        inactive_P = jnp.sum(P_n * P_n) <= 0.0
+        proposal = jnp.where(inactive_P, prior_row, cond_draw)
+
+        if mh:
+            Mhat_prop = Mhat + A_n * jnp.outer(P_n, proposal - E_n)
+            lam_old = jnp.maximum(Mhat, m.MHAT_FLOOR)
+            lam_new = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
+            lp_delta = jnp.sum(
+                data * (jnp.log(lam_new) - jnp.log(lam_old)) - (lam_new - lam_old),
+                axis=0,
+            )  # (G,)
+            vs_old = jnp.maximum(Mhat_prop, 1.0)
+            vs_new = jnp.maximum(Mhat, 1.0)
+            r_old = data - Mhat
+            r_new = data - Mhat_prop
+            ln_old = jnp.sum(-0.5 * r_old * r_old / vs_old - 0.5 * jnp.log(vs_old), axis=0)
+            ln_new = jnp.sum(-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new), axis=0)
+            ratio = jnp.minimum(jnp.exp(lp_delta + ln_old - ln_new), 1.0)
+            ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
+            u = jax.random.uniform(k_u, (G,))
+            if accept_all is True:
+                take = jnp.ones((G,), bool)
+                ratio_rec = jnp.ones((G,))
+            elif accept_all is False:
+                take = u < ratio
+                ratio_rec = ratio
+            else:
+                take = jnp.where(accept_all, jnp.ones((G,), bool), u < ratio)
+                ratio_rec = jnp.where(accept_all, jnp.ones((G,)), ratio)
+            mh_row = jnp.where(take, proposal, E_n)
+            new_row = jnp.where(A_n == 0, prior_row, mh_row)
+            acc_E = acc_E.at[n, :].set(jnp.where(A_n == 0, acc_E[n, :], ratio_rec))
+        else:
+            new_row = jnp.where(A_n == 0, prior_row, proposal)
+
+        Mhat = Mhat + A_n * jnp.outer(P_n, new_row - E_n)
+        E = jax.lax.dynamic_update_index_in_dim(E, new_row, n, axis=0)
+        return (E, Mhat, acc_E)
+
+    E, Mhat, acc_E = jax.lax.fori_loop(0, N, body, (params["E"], Mhat, acc_E))
+    return E, Mhat, acc_E
+
+
+# ---------------------------------------------------------------------------
+# conjugate Poisson-Gibbs P/E draws (vectorized over the whole matrix)
+# ---------------------------------------------------------------------------
+
+
+def sample_P_poisson_gibbs(spec: ModelSpec, prior: dict, params: dict, key):
+    """Conjugate Gamma draw of all of P given latent-count sums.
+
+    Parity: sample_Pn_poisson (sample_Pn.R:98-120); exactly equivalent to the
+    reference's sequential n-loop because the conditional factorizes given Z.
+    When A_n = 0 the Z-sums are zero and the formula reduces to the prior
+    draw, matching the sample_Pn dispatch (sample_Pn.R:12-29).
+    """
+    A, E, Zsum_g = params["A"], params["E"], params["Zsum_g"]
+    rate_add = (A * jnp.sum(E, axis=1))[None, :]  # (1, N)
+    if spec.prior == "gamma":
+        shape = prior["Alpha_p"] + Zsum_g
+        rate = prior["Beta_p"] + rate_add
+    else:  # exponential
+        shape = 1.0 + Zsum_g
+        rate = prior["Lambda_p"] + rate_add
+    return dist.gamma(key, shape, rate)
+
+
+def sample_E_poisson_gibbs(spec: ModelSpec, prior: dict, params: dict, P_new, key):
+    """Mirror for E (sample_En.R:97-119); uses the freshly updated P."""
+    A, Zsum_k = params["A"], params["Zsum_k"]
+    rate_add = (A * jnp.sum(P_new, axis=0))[:, None]  # (N, 1)
+    if spec.prior == "gamma":
+        shape = prior["Alpha_e"] + Zsum_k
+        rate = prior["Beta_e"] + rate_add
+    else:
+        shape = 1.0 + Zsum_k
+        rate = prior["Lambda_e"] + rate_add
+    return dist.gamma(key, shape, rate)
+
+
+# ---------------------------------------------------------------------------
+# rank learning: R and the A sweep (maps C9)
+# ---------------------------------------------------------------------------
+
+
+def prior_prob_1(R, N, clip_val=0.4):
+    """clip(R/N, 0.4/N, 1-0.4/N) (compute_prior_prob_1, sample_params.R:178-187)."""
+    p = R / N
+    return jnp.clip(p, clip_val / N, 1.0 - clip_val / N)
+
+
+def sample_R(spec: ModelSpec, A, temperature, key):
+    """Discrete posterior over expected rank 0..N (sample_R, :217-241)."""
+    N = spec.N
+    sumA = jnp.sum(A)
+    r = jnp.arange(N + 1, dtype=jnp.float32)
+    p1 = prior_prob_1(r, N)
+    loglik = sumA * jnp.log(p1) + (N - sumA) * jnp.log(1.0 - p1)
+    return jax.random.categorical(key, temperature * loglik).astype(jnp.int32)
+
+
+def sweep_A(spec: ModelSpec, data, params: dict, R, Mhat, temperature, key):
+    """Sequential Bernoulli updates of the inclusion vector A.
+
+    Parity: sample_An (sample_params.R:101-166). The two loglik evaluations
+    per n collapse into one fused delta pass: only loglik(A_n=1)-loglik(A_n=0)
+    enters the posterior odds. SBFI subtracts the BIC-penalty delta
+    (G+K)·log(G)/2 (:118-126); BFI uses raw logliks (:127-130); both tempered.
+    """
+    P, E = params["P"], params["E"]
+    sigmasq = params.get("sigmasq")
+    K, N, G = spec.K, spec.N, spec.G
+    keys = jax.random.split(key, N)
+    p1 = prior_prob_1(R.astype(jnp.float32), N)
+    logit_p1 = jnp.log(p1) - jnp.log1p(-p1)
+    sbfi_pen = (G + K) * jnp.log(jnp.float32(G)) / 2.0
+
+    def body(n, carry):
+        A, Mhat = carry
+        A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
+        P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)
+        E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)
+        contrib = jnp.outer(P_n, E_n)
+        Mhat_off = Mhat - A_n * contrib
+        if spec.likelihood == "poisson":
+            lam_on = jnp.maximum(Mhat_off + contrib, m.MHAT_FLOOR)
+            lam_off = jnp.maximum(Mhat_off, m.MHAT_FLOOR)
+            delta = jnp.sum(
+                data * (jnp.log(lam_on) - jnp.log(lam_off)) - (lam_on - lam_off)
+            )
+        else:
+            r_on = data - (Mhat_off + contrib)
+            r_off = data - Mhat_off
+            delta = jnp.sum((r_off * r_off - r_on * r_on) / (2.0 * sigmasq[None, :]))
+        if spec.rank_method == "SBFI":
+            delta = delta - sbfi_pen
+        log_odds = logit_p1 + temperature * delta
+        p = jax.nn.sigmoid(log_odds)
+        p = jnp.where(jnp.isnan(p), 0.5, p)
+        a_new = jax.random.bernoulli(keys[n], p).astype(jnp.float32)
+        Mhat = Mhat_off + a_new * contrib
+        A = A.at[n].set(a_new)
+        return (A, Mhat)
+
+    A, Mhat = jax.lax.fori_loop(0, N, body, (params["A"], Mhat))
+    return A, Mhat
+
+
+# ---------------------------------------------------------------------------
+# sigmasq (normal likelihood) — maps C11
+# ---------------------------------------------------------------------------
+
+
+def sample_sigmasq(spec: ModelSpec, data, prior: dict, Mhat, key):
+    """sigmasq_g ~ InvGamma(Alpha+K/2, Beta+½Σ resid²) (sample_params.R:275-286)."""
+    resid = data - Mhat
+    rss = jnp.sum(resid * resid, axis=0)  # (G,)
+    return dist.inv_gamma(
+        key, prior["Alpha_sig"] + spec.K / 2.0, prior["Beta_sig"] + 0.5 * rss
+    )
+
+
+# ---------------------------------------------------------------------------
+# latent count allocation — maps C10
+# ---------------------------------------------------------------------------
+
+
+def sample_Z_sums(spec: ModelSpec, data, params: dict, key):
+    return allocate_counts(key, data, params["P"], params["A"], params["E"])

@@ -1,0 +1,207 @@
+"""Vectorized on-device samplers for the Gibbs conditionals.
+
+TPU-native replacements for the reference's native RNG dependencies
+(SURVEY.md §2.2): truncnorm (C) → ``truncnorm_nonneg``; invgamma →
+``inv_gamma``; armspp (ARMS, C++) → ``slice_sample_logconcave`` (a vectorized
+stepping-out + shrinkage slice sampler, an exact MCMC kernel for the same 1-D
+conditionals); R stats rgamma/rexp/rbinom → jax.random counterparts.
+
+All samplers take an explicit threefry key and are shaped for vmap over
+chains; everything is f32 and jit-safe (static shapes, lax control flow only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _std_normal_lower_tail(key, alpha, shape):
+    """Sample Z ~ N(0,1) conditioned on Z >= alpha, elementwise, f32-robust.
+
+    Two exact schemes selected per element:
+      - tail-form inverse CDF  z = -ndtri(u * ndtr(-alpha))  (also covers the
+        untruncated case: for alpha << 0 it degenerates to plain inverse-CDF
+        sampling), valid until ndtr(-alpha) underflows (~alpha > 9 in f32);
+      - Marsaglia/Rayleigh-tail rejection for large alpha: propose
+        t = sqrt(alpha^2 - 2 ln u1), accept iff u2 < alpha/t (acceptance ~1
+        for alpha >= 8, so a few fixed rounds suffice).
+    """
+    k_u, k_r = jax.random.split(key)
+    tiny = jnp.float32(1.1754944e-38)  # min normal f32
+    u = jax.random.uniform(k_u, shape, jnp.float32, minval=tiny, maxval=1.0)
+    tail = jax.scipy.special.ndtr(-alpha)
+    v = jnp.maximum(u * tail, tiny)
+    z_icdf = jnp.maximum(-jax.scipy.special.ndtri(v), alpha)
+
+    # Marsaglia tail rejection, 8 fixed rounds (failure prob < 1e-16 at a>=8)
+    a_safe = jnp.maximum(alpha, 1.0)
+
+    def round_(carry, kk):
+        z, accepted = carry
+        k1, k2 = jax.random.split(kk)
+        u1 = jax.random.uniform(k1, shape, jnp.float32, minval=tiny, maxval=1.0)
+        u2 = jax.random.uniform(k2, shape, jnp.float32)
+        t = jnp.sqrt(a_safe * a_safe - 2.0 * jnp.log(u1))
+        ok = u2 < a_safe / t
+        z = jnp.where(ok & ~accepted, t, z)
+        return (z, accepted | ok), None
+
+    (z_tail, _), _ = jax.lax.scan(
+        round_,
+        (a_safe, jnp.zeros(shape, bool)),
+        jax.random.split(k_r, 8),
+    )
+    return jnp.where(alpha > 8.0, z_tail, z_icdf)
+
+
+def truncnorm_nonneg(key, mu, sigmasq, shape=None):
+    """Sample Normal(mu, sigmasq) truncated to [0, inf), elementwise.
+
+    Replaces truncnorm::rtruncnorm(a=0, b=Inf) (sample_Pn.R:14-19 etc.),
+    the single hottest RNG op of the MH path, fully vectorized on the VPU.
+    """
+    mu = jnp.asarray(mu, jnp.float32)
+    sigmasq = jnp.asarray(sigmasq, jnp.float32)
+    if shape is None:
+        shape = jnp.broadcast_shapes(mu.shape, sigmasq.shape)
+    sd = jnp.sqrt(sigmasq)
+    alpha = jnp.broadcast_to(-mu / sd, shape)
+    z = _std_normal_lower_tail(key, alpha, shape)
+    x = mu + sd * z
+    # Guard against -0.0 / tiny negative from float round-off.
+    return jnp.maximum(x, 0.0)
+
+
+def gamma(key, shape_param, rate, shape=None):
+    """Gamma(shape, rate) draws (R parameterization: mean = shape/rate)."""
+    shape_param = jnp.asarray(shape_param, jnp.float32)
+    rate = jnp.asarray(rate, jnp.float32)
+    if shape is None:
+        shape = jnp.broadcast_shapes(shape_param.shape, rate.shape)
+    g = jax.random.gamma(key, jnp.broadcast_to(shape_param, shape), dtype=jnp.float32)
+    return g / jnp.broadcast_to(rate, shape)
+
+
+def inv_gamma(key, shape_param, rate, shape=None):
+    """InvGamma(shape, rate) draws via 1/Gamma (replaces invgamma::rinvgamma)."""
+    g = gamma(key, shape_param, rate, shape)
+    return 1.0 / jnp.maximum(g, 1e-30)
+
+
+def exponential(key, rate, shape=None):
+    """Exponential(rate) draws (replaces stats::rexp)."""
+    rate = jnp.asarray(rate, jnp.float32)
+    if shape is None:
+        shape = rate.shape
+    e = jax.random.exponential(key, shape, jnp.float32)
+    return e / jnp.broadcast_to(rate, shape)
+
+
+def normal(key, mu, sigmasq, shape=None):
+    mu = jnp.asarray(mu, jnp.float32)
+    sigmasq = jnp.asarray(sigmasq, jnp.float32)
+    if shape is None:
+        shape = jnp.broadcast_shapes(mu.shape, sigmasq.shape)
+    z = jax.random.normal(key, shape, jnp.float32)
+    return mu + jnp.sqrt(sigmasq) * z
+
+
+def bernoulli(key, p, shape=None):
+    if shape is None:
+        shape = jnp.asarray(p).shape
+    return jax.random.bernoulli(key, p, shape)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("logpdf_fn", "lower", "upper", "width", "n_steps", "n_shrink"),
+)
+def slice_sample_logconcave(
+    key,
+    x0: jnp.ndarray,
+    logpdf_params: tuple,
+    logpdf_fn,
+    lower: float = 1e-3,
+    upper: float = 1e4,
+    width: float = 1.0,
+    n_steps: int = 8,
+    n_shrink: int = 16,
+):
+    """One elementwise slice-sampling transition targeting independent 1-D
+    densities ``logpdf_fn(x, *params)`` on (lower, upper).
+
+    Replaces armspp::arms for the non-conjugate Gamma-prior shape conditionals
+    (sample_priors.R:356-397). Slice sampling with stepping-out + shrinkage is
+    an exact MCMC kernel (leaves the conditional invariant), fully vectorized
+    over all K*N (or N*G) independent targets at once instead of the
+    reference's per-scalar C++ calls.
+
+    Args:
+      x0: current values, any shape; logpdf_params broadcast against it.
+      n_steps: stepping-out iterations (doubles the bracket each time).
+      n_shrink: shrinkage iterations (halves the bracket towards x0).
+    Returns new sample, same shape as x0.
+    """
+    x0 = jnp.asarray(x0, jnp.float32)
+    k_h, k_l, k_r, k_u = jax.random.split(key, 4)
+
+    logf = lambda x: logpdf_fn(jnp.clip(x, lower, upper), *logpdf_params)
+
+    # vertical level: log y = log f(x0) - Exp(1)
+    log_y = logf(x0) - jax.random.exponential(k_h, x0.shape, jnp.float32)
+
+    # initial bracket of size `width` randomly positioned around x0
+    u = jax.random.uniform(k_l, x0.shape, jnp.float32)
+    L0 = jnp.maximum(x0 - width * u, lower)
+    R0 = jnp.minimum(L0 + width, upper)
+
+    # stepping out: expand each side while logf(edge) > log_y
+    def step_out(carry, _):
+        L, R, wL, wR = carry
+        grow_L = logf(L) > log_y
+        grow_R = logf(R) > log_y
+        L = jnp.where(grow_L, jnp.maximum(L - wL, lower), L)
+        R = jnp.where(grow_R, jnp.minimum(R + wR, upper), R)
+        return (L, R, wL * 2.0, wR * 2.0), None
+
+    w0 = jnp.full(x0.shape, width, jnp.float32)
+    (L, R, _, _), _ = jax.lax.scan(step_out, (L0, R0, w0, w0), None, length=n_steps)
+
+    # shrinkage: sample uniformly in [L, R]; shrink towards x0 on rejection
+    def shrink(carry, kk):
+        L, R, x, accepted = carry
+        u = jax.random.uniform(kk, x0.shape, jnp.float32)
+        prop = L + u * (R - L)
+        ok = logf(prop) > log_y
+        newx = jnp.where(ok & ~accepted, prop, x)
+        accepted2 = accepted | ok
+        # shrink bracket for still-unaccepted lanes
+        L = jnp.where(~accepted2 & (prop < x0), prop, L)
+        R = jnp.where(~accepted2 & (prop >= x0), prop, R)
+        return (L, R, newx, accepted2), None
+
+    keys = jax.random.split(k_u, n_shrink)
+    (_, _, x_new, accepted), _ = jax.lax.scan(
+        shrink, (L, R, x0, jnp.zeros(x0.shape, bool)), keys
+    )
+    # lanes that never accepted keep x0 (valid MCMC: identity transition)
+    return jnp.where(accepted, jnp.clip(x_new, lower, upper), x0)
+
+
+def gamma_shape_cond_logpdf(x, c, d, log_beta, log_param):
+    """Unnormalized log-density of the Gamma-prior shape conditional.
+
+    Parity: logpdf_prop in sample_Alpha_Pkn (sample_priors.R:357-363):
+      (c-1) log x - d x + x log(beta) + (x-1) log(p) - lgamma(x)
+    where p is the current P (or E) entry and beta its rate.
+    """
+    return (
+        (c - 1.0) * jnp.log(x)
+        - d * x
+        + x * log_beta
+        + (x - 1.0) * log_param
+        - jax.lax.lgamma(x)
+    )

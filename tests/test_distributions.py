@@ -1,0 +1,86 @@
+"""Distribution-level tests of the sampler primitives (moment checks + KS)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats as st
+
+from bayesnmf_tpu.ops import distributions as d
+
+
+def key(i=0):
+    return jax.random.PRNGKey(i)
+
+
+def test_truncnorm_nonneg_moments():
+    mu, sq = 1.5, 0.49
+    x = np.asarray(d.truncnorm_nonneg(key(1), jnp.float32(mu), jnp.float32(sq), (200_000,)))
+    assert (x >= 0).all()
+    sd = np.sqrt(sq)
+    ref = st.truncnorm(-mu / sd, np.inf, loc=mu, scale=sd)
+    np.testing.assert_allclose(x.mean(), ref.mean(), rtol=5e-3)
+    np.testing.assert_allclose(x.std(), ref.std(), rtol=2e-2)
+
+
+def test_truncnorm_nonneg_deep_tail():
+    # mean far below 0: sampling from the positive tail must stay finite
+    mu, sq = -8.0, 1.0
+    x = np.asarray(d.truncnorm_nonneg(key(2), jnp.float32(mu), jnp.float32(sq), (50_000,)))
+    assert np.isfinite(x).all() and (x >= 0).all()
+    sd = 1.0
+    ref = st.truncnorm(-mu / sd, np.inf, loc=mu, scale=sd)
+    np.testing.assert_allclose(x.mean(), ref.mean(), rtol=5e-2, atol=5e-3)
+
+
+def test_truncnorm_ks():
+    mu, sq = 0.3, 2.0
+    x = np.asarray(d.truncnorm_nonneg(key(3), jnp.float32(mu), jnp.float32(sq), (20_000,)))
+    sd = np.sqrt(sq)
+    stat, p = st.kstest(x, st.truncnorm(-mu / sd, np.inf, loc=mu, scale=sd).cdf)
+    assert p > 1e-3, (stat, p)
+
+
+def test_gamma_and_invgamma_moments():
+    a, b = 3.0, 2.0
+    g = np.asarray(d.gamma(key(4), jnp.float32(a), jnp.float32(b), (200_000,)))
+    np.testing.assert_allclose(g.mean(), a / b, rtol=1e-2)
+    ig = np.asarray(d.inv_gamma(key(5), jnp.float32(a), jnp.float32(b), (200_000,)))
+    np.testing.assert_allclose(ig.mean(), b / (a - 1), rtol=2e-2)
+
+
+def test_exponential_moments():
+    x = np.asarray(d.exponential(key(6), jnp.float32(2.5), (100_000,)))
+    np.testing.assert_allclose(x.mean(), 1 / 2.5, rtol=2e-2)
+
+
+def test_slice_sampler_targets_gamma():
+    # Target Gamma(shape=4, rate=2) via its log-pdf; run a chain of slice
+    # transitions over many parallel lanes; pooled samples should match.
+    shape_, rate_ = 4.0, 2.0
+
+    def logpdf(x, a, b):
+        return (a - 1.0) * jnp.log(x) - b * x
+
+    n_lanes = 4096
+    x = jnp.full((n_lanes,), 1.0, jnp.float32)
+    k = key(7)
+    for i in range(60):
+        k, sub = jax.random.split(k)
+        x = d.slice_sample_logconcave(
+            sub, x, (jnp.float32(shape_), jnp.float32(rate_)), logpdf,
+            lower=1e-4, upper=100.0,
+        )
+    xs = np.asarray(x)
+    ref = st.gamma(shape_, scale=1 / rate_)
+    np.testing.assert_allclose(xs.mean(), ref.mean(), rtol=5e-2)
+    np.testing.assert_allclose(xs.std(), ref.std(), rtol=1e-1)
+    stat, p = st.kstest(xs, ref.cdf)
+    assert p > 1e-4, (stat, p)
+
+
+def test_gamma_shape_cond_logpdf_finite():
+    x = jnp.linspace(1e-3, 100.0, 50)
+    lp = d.gamma_shape_cond_logpdf(
+        x, jnp.float32(5.0), jnp.float32(1.0), jnp.log(2.0), jnp.log(0.5)
+    )
+    assert np.isfinite(np.asarray(lp)).all()
