@@ -33,6 +33,7 @@ N_METRICS = len(METRIC_NAMES)
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("spec",))
 def init_state(spec: ModelSpec, hp: dict, data, key, init_params=None,
                init_prior_params=None):
     """Build the initial sampler state: prior params from hyperpriors, params
@@ -41,6 +42,10 @@ def init_state(spec: ModelSpec, hp: dict, data, key, init_params=None,
     Parity: bayesNMF_sampler$initialize (bayesNMF_sampler.R:232-253).
     User-supplied ``init_params`` / ``init_prior_params`` entries override the
     corresponding draws (advanced.qmd:182-318 contract).
+
+    Jitted as ONE program (the dict structures of the override args are part
+    of the trace signature): eager per-op dispatch is pathologically slow on
+    remote-compile backends.
     """
     k_prior, k_P, k_E, k_R, k_A, k_Z, k_s, k_next = jax.random.split(key, 8)
     prior = U.init_prior_params(spec, hp, k_prior)

@@ -4,13 +4,18 @@ elementwise means, credible intervals.
 Parity: get_MAP_ (utils.R:194-288) + get_mode (helpers.R:63-79). The binary-A
 mode is found by bit-packing each A sample (replacing the reference's
 string-hash of matrices) on the small (S, N) host array; the heavy P/E
-averaging and quantiles stay on device as fused jnp reductions.
+averaging and quantiles run as TWO jitted mask-weighted device programs with
+shapes fixed by the window size — no per-check recompiles, no eager dispatch
+(pathological on remote-compile backends).
 """
 
 from __future__ import annotations
 
-import numpy as np
+from functools import partial
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import math as m
 
@@ -36,11 +41,56 @@ def a_mode(A_hist: np.ndarray):
     return mode_row.astype(np.float32), mask, top
 
 
+@jax.jit
+def _masked_renorm_mean(P_hist, E_hist, mask):
+    """Mask-weighted mean of per-sample renormalized (P, E).
+
+    Renormalization is per-column independent (helpers.R:35-49), so running
+    it over all N columns then subsetting afterwards equals the reference's
+    renormalize-then-subset order.
+    """
+    w = mask.astype(jnp.float32)
+    w = w / jnp.maximum(jnp.sum(w), 1.0)
+    s = jnp.sum(P_hist, axis=1, keepdims=True)            # (S, 1, N)
+    safe = jnp.where(s > 0, s, 1.0)
+    P_rn = P_hist / safe
+    E_rn = E_hist * jnp.swapaxes(safe, 1, 2)
+    P_map = jnp.einsum("s,skn->kn", w, P_rn)
+    E_map = jnp.einsum("s,sng->ng", w, E_rn)
+    return P_map, E_map, P_rn, E_rn
+
+
+@partial(jax.jit, static_argnames=("lo",))
+def _masked_quantiles(X, mask, lo: float):
+    """Elementwise (lo, 1-lo) quantiles over the masked leading axis.
+
+    Masked-out samples sort to +inf; quantile positions index only the first
+    n_valid entries (linear interpolation, matching R's default type-7 like
+    jnp.quantile).
+    """
+    S = X.shape[0]
+    big = jnp.where(mask.reshape((S,) + (1,) * (X.ndim - 1)), X, jnp.inf)
+    srt = jnp.sort(big, axis=0)
+    n = jnp.sum(mask).astype(jnp.float32)
+
+    def q_at(q):
+        pos = q * (n - 1.0)
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, S - 1)
+        i1 = jnp.clip(i0 + 1, 0, S - 1)
+        frac = pos - i0.astype(jnp.float32)
+        x0 = jnp.take(srt, i0, axis=0)
+        x1 = jnp.take(srt, jnp.minimum(i1, jnp.sum(mask).astype(jnp.int32) - 1),
+                      axis=0)
+        return x0 * (1.0 - frac) + x1 * frac
+
+    return q_at(jnp.float32(lo)), q_at(jnp.float32(1.0 - lo))
+
+
 def compute_map(P_hist, E_hist, A_hist, final: bool, credible_interval=0.95,
                 want_ci: bool = True):
     """Compute the MAP estimate (and CIs) from a window of posterior samples.
 
-    Steps (get_MAP_, utils.R:200-288): (i) mode of A; (ii) subset samples
+    Steps (get_MAP_, utils.R:200-288): (i) mode of A; (ii) weight samples
     matching the mode; (iii) renormalize each so P columns sum to 1 scaling E
     up; (iv) elementwise mean → MAP P/E; CIs = elementwise quantiles.
 
@@ -52,8 +102,6 @@ def compute_map(P_hist, E_hist, A_hist, final: bool, credible_interval=0.95,
     """
     A_host = np.asarray(A_hist)
     mode_row, mask, top = a_mode(A_host)
-    S = A_host.shape[0]
-    idx = np.nonzero(mask)[0]
 
     if final:
         keep_sigs = np.nonzero(mode_row == 1)[0]
@@ -62,22 +110,14 @@ def compute_map(P_hist, E_hist, A_hist, final: bool, credible_interval=0.95,
     else:
         keep_sigs = np.arange(mode_row.shape[0])
 
-    # gather matching samples (concrete host-driven fancy indexing)
-    P_sel = jnp.asarray(P_hist)[idx][:, :, keep_sigs]  # (S', K, n)
-    E_sel = jnp.asarray(E_hist)[idx][:, keep_sigs, :]  # (S', n, G)
-
-    # renormalize per sample: columns of P sum to 1, scale E up
-    s = jnp.sum(P_sel, axis=1, keepdims=True)          # (S', 1, n)
-    safe = jnp.where(s > 0, s, 1.0)
-    P_rn = P_sel / safe
-    E_rn = E_sel * jnp.swapaxes(safe, 1, 2)            # (S', n, G)
-
-    P_map = jnp.mean(P_rn, axis=0)
-    E_map = jnp.mean(E_rn, axis=0)
+    mask_d = jnp.asarray(mask)
+    P_hist = jnp.asarray(P_hist)
+    E_hist = jnp.asarray(E_hist)
+    P_map, E_map, P_rn, E_rn = _masked_renorm_mean(P_hist, E_hist, mask_d)
 
     out = {
-        "P": P_map,
-        "E": E_map,
+        "P": P_map[:, keep_sigs],
+        "E": E_map[keep_sigs, :],
         "A": mode_row[keep_sigs],
         "A_full": mode_row,
         "keep_sigs": keep_sigs,
@@ -85,15 +125,20 @@ def compute_map(P_hist, E_hist, A_hist, final: bool, credible_interval=0.95,
         "A_counts": top,
     }
     if want_ci:
-        lo = (1.0 - credible_interval) / 2.0
-        qs = jnp.asarray([lo, 1.0 - lo], jnp.float32)
-        P_ci = jnp.quantile(P_rn, qs, axis=0)
-        E_ci = jnp.quantile(E_rn, qs, axis=0)
+        lo = float((1.0 - credible_interval) / 2.0)
+        P_lo, P_hi = _masked_quantiles(P_rn, mask_d, lo)
+        E_lo, E_hi = _masked_quantiles(E_rn, mask_d, lo)
         out["credible_intervals"] = {
-            "P": {"lower": P_ci[0], "upper": P_ci[1]},
-            "E": {"lower": E_ci[0], "upper": E_ci[1]},
+            "P": {"lower": P_lo[:, keep_sigs], "upper": P_hi[:, keep_sigs]},
+            "E": {"lower": E_lo[keep_sigs, :], "upper": E_hi[keep_sigs, :]},
         }
     return out
+
+
+@jax.jit
+def _map_quality(data, P, E):
+    Mh = m.dot_f32(P, E)
+    return m.rmse(data, Mh), m.padded_kl(Mh, data)
 
 
 def map_quality_metrics(data, map_est, G: int, K: int):
@@ -102,12 +147,11 @@ def map_quality_metrics(data, map_est, G: int, K: int):
     Parity: compute_metrics_ with final A recoded to ones (utils.R:419-423):
     the MAP P/E are already filtered/renormalized, so Mhat = P @ E.
     """
-    P, E = map_est["P"], map_est["E"]
-    Mh = m.dot_f32(P, E)
-    n_par = float(np.asarray(jnp.sum(jnp.asarray(map_est["A_full"])))) * (G + K)
+    rmse_v, kl_v = _map_quality(data, map_est["P"], map_est["E"])
+    rank = float(np.sum(np.asarray(map_est["A_full"])))
     return {
-        "RMSE": float(np.asarray(m.rmse(data, Mh))),
-        "KL": float(np.asarray(m.padded_kl(Mh, data))),
-        "n_params": n_par,
-        "rank": float(np.sum(np.asarray(map_est["A_full"]))),
+        "RMSE": float(np.asarray(rmse_v)),
+        "KL": float(np.asarray(kl_v)),
+        "n_params": rank * (G + K),
+        "rank": rank,
     }

@@ -196,12 +196,16 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
     E, A = params["E"], params["A"]
     sigmasq = params.get("sigmasq")
     K, N, G = spec.K, spec.N, spec.G
-    keys = jax.random.split(key, N)
+    k_prior_all, key = jax.random.split(key)
+    keys = jax.random.split(key, 2 * N)
     mh = spec.likelihood == "poisson" and spec.MH
+    # prior fallback columns for the whole sweep in ONE vectorized draw
+    # (keeps the op chain inside the sequential loop short)
+    P_prior = _prior_draw_P(spec, prior, k_prior_all)
 
     def body(n, carry):
         P, Mhat, acc_P = carry
-        k_prior, k_prop, k_u = jax.random.split(keys[n], 3)
+        k_prop, k_u = keys[2 * n], keys[2 * n + 1]
         A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
         E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)  # (G,)
         P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)  # (K,)
@@ -230,26 +234,29 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
 
         # prior fallback: excluded signature or all-zero exposure row
         # (sample_Pn.R:12-13, 56)
-        prior_col = _prior_col_P(spec, prior, n, k_prior)
+        prior_col = jax.lax.dynamic_index_in_dim(P_prior, n, axis=1, keepdims=False)
         inactive_E = jnp.sum(E_n * E_n) <= 0.0
         proposal = jnp.where(inactive_E, prior_col, cond_draw)
 
         if mh:
             # --- elementwise MH correction (MH_Pn_poisson, :199-248) -----
+            # all four loglik row-sums fused into ONE K×G pass + reduction:
+            # poisson_new - poisson_old (lgamma cancels) + normal_old(sigmasq
+            # = pmax(Mhat_prop,1)) - normal_new(sigmasq = pmax(Mhat,1))
             Mhat_prop = Mhat + A_n * jnp.outer(proposal - P_n, E_n)
             lam_old = jnp.maximum(Mhat, m.MHAT_FLOOR)
             lam_new = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
-            lp_delta = jnp.sum(
-                data * (jnp.log(lam_new) - jnp.log(lam_old)) - (lam_new - lam_old),
-                axis=1,
-            )  # poisson_new - poisson_old, lgamma terms cancel (K,)
             vs_old = jnp.maximum(Mhat_prop, 1.0)  # sigmasq for normal_old
             vs_new = jnp.maximum(Mhat, 1.0)       # sigmasq for normal_new
             r_old = data - Mhat
             r_new = data - Mhat_prop
-            ln_old = jnp.sum(-0.5 * r_old * r_old / vs_old - 0.5 * jnp.log(vs_old), axis=1)
-            ln_new = jnp.sum(-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new), axis=1)
-            log_ratio = lp_delta + ln_old - ln_new
+            log_ratio = jnp.sum(
+                data * (jnp.log(lam_new) - jnp.log(lam_old))
+                - (lam_new - lam_old)
+                + (-0.5 * r_old * r_old / vs_old - 0.5 * jnp.log(vs_old))
+                - (-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new)),
+                axis=1,
+            )
             ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
             ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
             u = jax.random.uniform(k_u, (K,))
@@ -276,42 +283,6 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
     return P, Mhat, acc_P
 
 
-def _prior_col_P(spec, prior, n, key):
-    if spec.prior == "truncnormal":
-        return dist.truncnorm_nonneg(
-            key,
-            jax.lax.dynamic_index_in_dim(prior["Mu_p"], n, axis=1, keepdims=False),
-            jax.lax.dynamic_index_in_dim(prior["Sigmasq_p"], n, axis=1, keepdims=False),
-        )
-    if spec.prior == "exponential":
-        return dist.exponential(
-            key, jax.lax.dynamic_index_in_dim(prior["Lambda_p"], n, axis=1, keepdims=False)
-        )
-    return dist.gamma(
-        key,
-        jax.lax.dynamic_index_in_dim(prior["Alpha_p"], n, axis=1, keepdims=False),
-        jax.lax.dynamic_index_in_dim(prior["Beta_p"], n, axis=1, keepdims=False),
-    )
-
-
-def _prior_row_E(spec, prior, n, key):
-    if spec.prior == "truncnormal":
-        return dist.truncnorm_nonneg(
-            key,
-            jax.lax.dynamic_index_in_dim(prior["Mu_e"], n, axis=0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(prior["Sigmasq_e"], n, axis=0, keepdims=False),
-        )
-    if spec.prior == "exponential":
-        return dist.exponential(
-            key, jax.lax.dynamic_index_in_dim(prior["Lambda_e"], n, axis=0, keepdims=False)
-        )
-    return dist.gamma(
-        key,
-        jax.lax.dynamic_index_in_dim(prior["Alpha_e"], n, axis=0, keepdims=False),
-        jax.lax.dynamic_index_in_dim(prior["Beta_e"], n, axis=0, keepdims=False),
-    )
-
-
 # ---------------------------------------------------------------------------
 # sequential E sweep — maps C8, exact mirror over rows/G (sample_En.R)
 # ---------------------------------------------------------------------------
@@ -321,12 +292,14 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
     P, A = params["P"], params["A"]
     sigmasq = params.get("sigmasq")
     K, N, G = spec.K, spec.N, spec.G
-    keys = jax.random.split(key, N)
+    k_prior_all, key = jax.random.split(key)
+    keys = jax.random.split(key, 2 * N)
     mh = spec.likelihood == "poisson" and spec.MH
+    E_prior = _prior_draw_E(spec, prior, k_prior_all)
 
     def body(n, carry):
         E, Mhat, acc_E = carry
-        k_prior, k_prop, k_u = jax.random.split(keys[n], 3)
+        k_prop, k_u = keys[2 * n], keys[2 * n + 1]
         A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
         P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)  # (K,)
         E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)  # (G,)
@@ -351,7 +324,7 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
             var = 1.0 / den2
         cond_draw = dist.truncnorm_nonneg(k_prop, mu, var)
 
-        prior_row = _prior_row_E(spec, prior, n, k_prior)
+        prior_row = jax.lax.dynamic_index_in_dim(E_prior, n, axis=0, keepdims=False)
         inactive_P = jnp.sum(P_n * P_n) <= 0.0
         proposal = jnp.where(inactive_P, prior_row, cond_draw)
 
@@ -359,17 +332,18 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
             Mhat_prop = Mhat + A_n * jnp.outer(P_n, proposal - E_n)
             lam_old = jnp.maximum(Mhat, m.MHAT_FLOOR)
             lam_new = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
-            lp_delta = jnp.sum(
-                data * (jnp.log(lam_new) - jnp.log(lam_old)) - (lam_new - lam_old),
-                axis=0,
-            )  # (G,)
             vs_old = jnp.maximum(Mhat_prop, 1.0)
             vs_new = jnp.maximum(Mhat, 1.0)
             r_old = data - Mhat
             r_new = data - Mhat_prop
-            ln_old = jnp.sum(-0.5 * r_old * r_old / vs_old - 0.5 * jnp.log(vs_old), axis=0)
-            ln_new = jnp.sum(-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new), axis=0)
-            ratio = jnp.minimum(jnp.exp(lp_delta + ln_old - ln_new), 1.0)
+            log_ratio = jnp.sum(
+                data * (jnp.log(lam_new) - jnp.log(lam_old))
+                - (lam_new - lam_old)
+                + (-0.5 * r_old * r_old / vs_old - 0.5 * jnp.log(vs_old))
+                - (-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new)),
+                axis=0,
+            )
+            ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
             ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
             u = jax.random.uniform(k_u, (G,))
             if accept_all is True:

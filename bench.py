@@ -41,17 +41,24 @@ def bench_tpu(data):
     hp = default_hyperprior_params(spec, float(data.mean()))
     d = jnp.asarray(data)
     state = gibbs.init_state(spec, hp, d, jax.random.PRNGKey(0))
-    temps = jnp.ones((WARM_CHUNK,), jnp.float32)
-    # compile + warmup (accept_all=False is the post-warmup MH inference path,
-    # the more expensive phase)
-    state, _ = gibbs.run_chunk(spec, d, hp, state, temps, False)
-    jax.block_until_ready(state["params"]["P"])
-
     bench_temps = jnp.ones((BENCH_ITERS,), jnp.float32)
+
+    def barrier(st):
+        # device→host transfer as the completion barrier:
+        # block_until_ready on the axon relay backend returns early.
+        return float(np.asarray(st["params"]["P"][0, 0]))
+
+    # compile + warmup with the SAME chunk length as the timed run (a
+    # different scan length is a different XLA program)
+    state, _ = gibbs.run_chunk(spec, d, hp, state, bench_temps, False)
+    barrier(state)
+
+    reps = 3
     t0 = time.perf_counter()
-    state, samples = gibbs.run_chunk(spec, d, hp, state, bench_temps, False)
-    jax.block_until_ready(state["params"]["P"])
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        state, samples = gibbs.run_chunk(spec, d, hp, state, bench_temps, False)
+        barrier(state)
+    dt = (time.perf_counter() - t0) / reps
     return BENCH_ITERS / dt
 
 
