@@ -19,10 +19,29 @@ from .config import (  # noqa: F401
 __version__ = "0.1.0"
 
 
+def new_convergence_control(**kw):
+    """R-compat alias for ConvergenceControl (convergence.R:16-45)."""
+    return ConvergenceControl(**kw)
+
+
 def __getattr__(name):
     # Lazy imports keep `import bayesnmf_tpu` light; heavy modules load on use.
-    if name in ("GibbsSampler", "fit"):
+    if name in ("GibbsSampler", "fit", "bayesNMF"):
         from .models.sampler import GibbsSampler, fit
 
-        return {"GibbsSampler": GibbsSampler, "fit": fit}[name]
+        return {"GibbsSampler": GibbsSampler, "fit": fit,
+                "bayesNMF": fit}[name]
+    if name in ("get_cosmic", "download_cosmic", "get_cosmic_colors"):
+        from .utils import cosmic
+
+        return getattr(cosmic, name)
+    if name in ("hungarian_assignment", "pairwise_sim"):
+        from .utils import assignment
+
+        return {"hungarian_assignment": assignment.hungarian_assignment,
+                "pairwise_sim": assignment.pairwise_cosine}[name]
+    if name == "summarize_samplers":
+        from .utils.postprocessing import summarize_samplers
+
+        return summarize_samplers
     raise AttributeError(name)

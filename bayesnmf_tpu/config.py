@@ -43,6 +43,24 @@ class ModelSpec:
     MH: bool = True
     learning_rank: bool = False
     rank_method: str = "SBFI"
+    # The reference's Mu/Sigmasq updates for the truncnormal prior use the
+    # plain normal/inv-gamma conjugates, dropping the truncation normalizer
+    # Phi(mu/sigma) of the TruncNormal(mu, sigma^2)[0, inf) prior
+    # (sample_priors.R:214-270) — an approximate conditional that fails a
+    # Geweke joint test. True (default) samples the exact non-conjugate
+    # conditionals by slice sampling; False reproduces the reference's
+    # approximate updates.
+    exact_truncnorm_hypers: bool = True
+    # The reference's MH acceptance ratio (MH_Pn_poisson, sample_Pn.R:209-239)
+    # substitutes the normal-model likelihood for the proposal density —
+    # exact only if the proposal were the untruncated conjugate conditional;
+    # the dropped TruncNormal normalizers and the state-dependent proposal
+    # variance leave a small stationary bias (detected by the Geweke joint
+    # test). True (default) computes the exact Hastings ratio with the actual
+    # truncated-normal proposal densities and prior terms (the reverse-move
+    # conditional reuses Mhat_no_n, so it costs ~one extra K x G pass);
+    # False reproduces the reference's kernel.
+    exact_mh: bool = True
 
     def __post_init__(self):
         # Validity rules follow the reference check_model

@@ -72,6 +72,15 @@ class GibbsSampler:
         save_all_samples: bool = True,
         seed: int = 0,
     ):
+        # DataFrame input keeps its dimnames (like an R matrix): row names
+        # drive signature plots and reference row-reordering, column names
+        # label exposures.
+        self.row_names = None
+        self.col_names = None
+        if hasattr(data, "index") and hasattr(data, "columns"):
+            self.row_names = [str(r) for r in data.index]
+            self.col_names = [str(c) for c in data.columns]
+            data = data.to_numpy()
         data = np.asarray(data, np.float32)
         if isinstance(rank, (int, np.integer)):
             ranks = [int(rank)]
@@ -481,6 +490,9 @@ def fit(
             if best is None or bic_k < best[0]:
                 best = (bic_k, k, s)
         results.sort(key=lambda r: r["BIC"])
+        if output_dir:
+            # save the winning sampler at the parent level (bayesNMF.R:125)
+            best[2].save_object(os.path.join(output_dir, "sampler.ckpt"))
         return {"results": results, "best_rank": best[1], "sampler": best[2]}
 
     sampler = GibbsSampler(

@@ -98,25 +98,51 @@ def sample_prior_params(spec: ModelSpec, hp: dict, params: dict, prior: dict, ke
     new = dict(prior)
     ks = jax.random.split(key, 4)
     if spec.prior == "truncnormal":
-        # Mu | P: normal-normal conjugate (sample_priors.R:214-236; corrected
-        # to use sd = sqrt(posterior variance)).
         S_p, M_p = _bcast_p(hp, "s_p", spec), _bcast_p(hp, "m_p", spec)
-        num = M_p / S_p + P / prior["Sigmasq_p"]
-        den = 1.0 / S_p + 1.0 / prior["Sigmasq_p"]
-        new["Mu_p"] = dist.normal(ks[0], num / den, 1.0 / den)
         S_e, M_e = _bcast_e(hp, "s_e", spec), _bcast_e(hp, "m_e", spec)
-        num_e = M_e / S_e + E / prior["Sigmasq_e"]
-        den_e = 1.0 / S_e + 1.0 / prior["Sigmasq_e"]
-        new["Mu_e"] = dist.normal(ks[1], num_e / den_e, 1.0 / den_e)
-        # Sigmasq | P, Mu: InvGamma (sample_priors.R:246-270; corrected B_e).
-        dp = P - new["Mu_p"]
-        new["Sigmasq_p"] = dist.inv_gamma(
-            ks[2], _bcast_p(hp, "a_p", spec) + 0.5, _bcast_p(hp, "b_p", spec) + 0.5 * dp * dp
-        )
-        de = E - new["Mu_e"]
-        new["Sigmasq_e"] = dist.inv_gamma(
-            ks[3], _bcast_e(hp, "a_e", spec) + 0.5, _bcast_e(hp, "b_e", spec) + 0.5 * de * de
-        )
+        A_p, B_p = _bcast_p(hp, "a_p", spec), _bcast_p(hp, "b_p", spec)
+        A_e, B_e = _bcast_e(hp, "a_e", spec), _bcast_e(hp, "b_e", spec)
+        if spec.exact_truncnorm_hypers:
+            # Exact non-conjugate conditionals including the TruncNormal
+            # normalizer Phi(mu/sigma) (Geweke-validated); elementwise slice
+            # transitions over all (K,N)+(N,G) targets at once. Bracket
+            # widths track the local posterior scale.
+            w_mu_p = jnp.sqrt(1.0 / (1.0 / S_p + 1.0 / prior["Sigmasq_p"])) * 3.0
+            new["Mu_p"] = dist.slice_sample_logconcave(
+                ks[0], prior["Mu_p"], (M_p, S_p, P, prior["Sigmasq_p"]),
+                dist.truncnorm_mu_cond_logpdf,
+                lower=-1e6, upper=1e6, width=w_mu_p, n_steps=6, n_shrink=12)
+            w_mu_e = jnp.sqrt(1.0 / (1.0 / S_e + 1.0 / prior["Sigmasq_e"])) * 3.0
+            new["Mu_e"] = dist.slice_sample_logconcave(
+                ks[1], prior["Mu_e"], (M_e, S_e, E, prior["Sigmasq_e"]),
+                dist.truncnorm_mu_cond_logpdf,
+                lower=-1e6, upper=1e6, width=w_mu_e, n_steps=6, n_shrink=12)
+            y_p = dist.slice_sample_logconcave(
+                ks[2], jnp.log(jnp.maximum(prior["Sigmasq_p"], 1e-20)),
+                (A_p, B_p, P, new["Mu_p"]),
+                dist.truncnorm_logsigmasq_cond_logpdf,
+                lower=-30.0, upper=30.0, width=1.0, n_steps=6, n_shrink=12)
+            new["Sigmasq_p"] = jnp.exp(y_p)
+            y_e = dist.slice_sample_logconcave(
+                ks[3], jnp.log(jnp.maximum(prior["Sigmasq_e"], 1e-20)),
+                (A_e, B_e, E, new["Mu_e"]),
+                dist.truncnorm_logsigmasq_cond_logpdf,
+                lower=-30.0, upper=30.0, width=1.0, n_steps=6, n_shrink=12)
+            new["Sigmasq_e"] = jnp.exp(y_e)
+        else:
+            # Reference-parity mode: plain conjugates dropping the truncation
+            # normalizer (sample_priors.R:214-270; with sd=sqrt(var) and the
+            # B_e rate corrected).
+            num = M_p / S_p + P / prior["Sigmasq_p"]
+            den = 1.0 / S_p + 1.0 / prior["Sigmasq_p"]
+            new["Mu_p"] = dist.normal(ks[0], num / den, 1.0 / den)
+            num_e = M_e / S_e + E / prior["Sigmasq_e"]
+            den_e = 1.0 / S_e + 1.0 / prior["Sigmasq_e"]
+            new["Mu_e"] = dist.normal(ks[1], num_e / den_e, 1.0 / den_e)
+            dp = P - new["Mu_p"]
+            new["Sigmasq_p"] = dist.inv_gamma(ks[2], A_p + 0.5, B_p + 0.5 * dp * dp)
+            de = E - new["Mu_e"]
+            new["Sigmasq_e"] = dist.inv_gamma(ks[3], A_e + 0.5, B_e + 0.5 * de * de)
     elif spec.prior == "exponential":
         # Lambda | x ~ Gamma(a+1, b+x) (sample_priors.R:284-308)
         new["Lambda_p"] = dist.gamma(
@@ -240,23 +266,56 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
 
         if mh:
             # --- elementwise MH correction (MH_Pn_poisson, :199-248) -----
-            # all four loglik row-sums fused into ONE K×G pass + reduction:
-            # poisson_new - poisson_old (lgamma cancels) + normal_old(sigmasq
-            # = pmax(Mhat_prop,1)) - normal_new(sigmasq = pmax(Mhat,1))
+            # rows are independent given E (the Poisson likelihood and the
+            # prior factorize over k), so per-row accept/reject is a proper
+            # MH update; the Poisson delta needs one fused K×G pass.
             Mhat_prop = Mhat + A_n * jnp.outer(proposal - P_n, E_n)
             lam_old = jnp.maximum(Mhat, m.MHAT_FLOOR)
             lam_new = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
-            vs_old = jnp.maximum(Mhat_prop, 1.0)  # sigmasq for normal_old
-            vs_new = jnp.maximum(Mhat, 1.0)       # sigmasq for normal_new
-            r_old = data - Mhat
-            r_new = data - Mhat_prop
-            log_ratio = jnp.sum(
-                data * (jnp.log(lam_new) - jnp.log(lam_old))
-                - (lam_new - lam_old)
-                + (-0.5 * r_old * r_old / vs_old - 0.5 * jnp.log(vs_old))
-                - (-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new)),
-                axis=1,
-            )
+            lp_core = (data * (jnp.log(lam_new) - jnp.log(lam_old))
+                       - (lam_new - lam_old))
+            if spec.exact_mh:
+                # exact Hastings ratio with the true TruncNormal proposal
+                # densities. The reverse-move conditional shares Mhat_no_n
+                # (Mhat_prop - A_n P'_n⊗E_n == Mhat_no_n), only the
+                # state-dependent proposal variance sig' = max(Mhat_prop, ·)
+                # differs.
+                sig_r = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
+                mu1_r = m.dot_f32((data - Mhat_no_n) / sig_r, E_n)
+                den_r = A_n * m.dot_f32(1.0 / sig_r, E_n * E_n)
+                if spec.prior == "exponential":
+                    den_rs = jnp.maximum(den_r, _EPS)
+                    mu_r = (mu1_r - Lam_n) / den_rs
+                    var_r = 1.0 / den_rs
+                    lprior_delta = -Lam_n * (proposal - P_n)
+                else:
+                    den_r2 = den_r + 1.0 / Sq_n
+                    mu_r = (mu1_r + Mu_n / Sq_n) / den_r2
+                    var_r = 1.0 / den_r2
+                    lprior_delta = (m.truncnorm_logpdf(proposal, Mu_n, Sq_n)
+                                    - m.truncnorm_logpdf(P_n, Mu_n, Sq_n))
+                lq_fwd = m.truncnorm_logpdf(proposal, mu, var)
+                lq_rev = m.truncnorm_logpdf(P_n, mu_r, var_r)
+                log_ratio = (jnp.sum(lp_core, axis=1) + lprior_delta
+                             + lq_rev - lq_fwd)
+                # prior-draw fallback proposal (all-zero E row): target and
+                # proposal coincide → always accept
+                log_ratio = jnp.where(inactive_E, 0.0, log_ratio)
+            else:
+                # reference kernel: normal-model likelihoods stand in for the
+                # proposal densities ("priors cancel"), with sigmasq
+                # pmax(Mhat_prop,1)/pmax(Mhat,1) (sample_Pn.R:209-239); all
+                # four row-sums fused into the same single pass.
+                vs_old = jnp.maximum(Mhat_prop, 1.0)
+                vs_new = jnp.maximum(Mhat, 1.0)
+                r_old = data - Mhat
+                r_new = data - Mhat_prop
+                log_ratio = jnp.sum(
+                    lp_core
+                    + (-0.5 * r_old * r_old / vs_old - 0.5 * jnp.log(vs_old))
+                    - (-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new)),
+                    axis=1,
+                )
             ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
             ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
             u = jax.random.uniform(k_u, (K,))
@@ -329,20 +388,43 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
         proposal = jnp.where(inactive_P, prior_row, cond_draw)
 
         if mh:
+            # mirror of the P-sweep MH correction over columns (MH_En_poisson)
             Mhat_prop = Mhat + A_n * jnp.outer(P_n, proposal - E_n)
             lam_old = jnp.maximum(Mhat, m.MHAT_FLOOR)
             lam_new = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
-            vs_old = jnp.maximum(Mhat_prop, 1.0)
-            vs_new = jnp.maximum(Mhat, 1.0)
-            r_old = data - Mhat
-            r_new = data - Mhat_prop
-            log_ratio = jnp.sum(
-                data * (jnp.log(lam_new) - jnp.log(lam_old))
-                - (lam_new - lam_old)
-                + (-0.5 * r_old * r_old / vs_old - 0.5 * jnp.log(vs_old))
-                - (-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new)),
-                axis=0,
-            )
+            lp_core = (data * (jnp.log(lam_new) - jnp.log(lam_old))
+                       - (lam_new - lam_old))
+            if spec.exact_mh:
+                sig_r = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
+                mu1_r = m.dot_f32(P_n, (data - Mhat_no_n) / sig_r)
+                den_r = A_n * m.dot_f32(P_n * P_n, 1.0 / sig_r)
+                if spec.prior == "exponential":
+                    den_rs = jnp.maximum(den_r, _EPS)
+                    mu_r = (mu1_r - Lam_n) / den_rs
+                    var_r = 1.0 / den_rs
+                    lprior_delta = -Lam_n * (proposal - E_n)
+                else:
+                    den_r2 = den_r + 1.0 / Sq_n
+                    mu_r = (mu1_r + Mu_n / Sq_n) / den_r2
+                    var_r = 1.0 / den_r2
+                    lprior_delta = (m.truncnorm_logpdf(proposal, Mu_n, Sq_n)
+                                    - m.truncnorm_logpdf(E_n, Mu_n, Sq_n))
+                lq_fwd = m.truncnorm_logpdf(proposal, mu, var)
+                lq_rev = m.truncnorm_logpdf(E_n, mu_r, var_r)
+                log_ratio = (jnp.sum(lp_core, axis=0) + lprior_delta
+                             + lq_rev - lq_fwd)
+                log_ratio = jnp.where(inactive_P, 0.0, log_ratio)
+            else:
+                vs_old = jnp.maximum(Mhat_prop, 1.0)
+                vs_new = jnp.maximum(Mhat, 1.0)
+                r_old = data - Mhat
+                r_new = data - Mhat_prop
+                log_ratio = jnp.sum(
+                    lp_core
+                    + (-0.5 * r_old * r_old / vs_old - 0.5 * jnp.log(vs_old))
+                    - (-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new)),
+                    axis=0,
+                )
             ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
             ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
             u = jax.random.uniform(k_u, (G,))

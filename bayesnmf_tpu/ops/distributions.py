@@ -106,7 +106,7 @@ def bernoulli(key, p, shape=None):
 
 @partial(
     jax.jit,
-    static_argnames=("logpdf_fn", "lower", "upper", "width", "n_steps", "n_shrink"),
+    static_argnames=("logpdf_fn", "lower", "upper", "n_steps", "n_shrink"),
 )
 def slice_sample_logconcave(
     key,
@@ -115,7 +115,7 @@ def slice_sample_logconcave(
     logpdf_fn,
     lower: float = 1e-3,
     upper: float = 1e4,
-    width: float = 1.0,
+    width=1.0,
     n_steps: int = 8,
     n_shrink: int = 16,
 ):
@@ -143,6 +143,8 @@ def slice_sample_logconcave(
     log_y = logf(x0) - jax.random.exponential(k_h, x0.shape, jnp.float32)
 
     # initial bracket of size `width` randomly positioned around x0
+    # (width may be a per-element array matched to the local scale)
+    width = jnp.broadcast_to(jnp.asarray(width, jnp.float32), x0.shape)
     u = jax.random.uniform(k_l, x0.shape, jnp.float32)
     L0 = jnp.maximum(x0 - width * u, lower)
     R0 = jnp.minimum(L0 + width, upper)
@@ -156,8 +158,8 @@ def slice_sample_logconcave(
         R = jnp.where(grow_R, jnp.minimum(R + wR, upper), R)
         return (L, R, wL * 2.0, wR * 2.0), None
 
-    w0 = jnp.full(x0.shape, width, jnp.float32)
-    (L, R, _, _), _ = jax.lax.scan(step_out, (L0, R0, w0, w0), None, length=n_steps)
+    (L, R, _, _), _ = jax.lax.scan(step_out, (L0, R0, width, width), None,
+                                   length=n_steps)
 
     # shrinkage: sample uniformly in [L, R]; shrink towards x0 on rejection
     def shrink(carry, kk):
@@ -178,6 +180,29 @@ def slice_sample_logconcave(
     )
     # lanes that never accepted keep x0 (valid MCMC: identity transition)
     return jnp.where(accepted, jnp.clip(x_new, lower, upper), x0)
+
+
+def truncnorm_mu_cond_logpdf(mu, m_hp, s_hp, x, sq):
+    """Unnormalized log-density of Mu | x, Sigmasq under the truncated-normal
+    prior, INCLUDING the truncation normalizer the reference's conjugate
+    update drops (sample_priors.R:214-236):
+
+      N(mu; m_hp, s_hp) * N(x; mu, sq) / Phi(mu / sqrt(sq))
+    """
+    lead = -(mu - m_hp) ** 2 / (2.0 * s_hp) - (x - mu) ** 2 / (2.0 * sq)
+    return lead - jax.scipy.special.log_ndtr(mu / jnp.sqrt(sq))
+
+
+def truncnorm_logsigmasq_cond_logpdf(y, a_hp, b_hp, x, mu):
+    """Unnormalized log-density of y = log(Sigmasq) | x, Mu under the
+    truncated-normal prior (InvGamma(a,b) hyperprior), including the
+    truncation normalizer and the log-space Jacobian:
+
+      p(y) ∝ exp(-(a+1/2) y - (b + (x-mu)^2/2) e^{-y}) / Phi(mu e^{-y/2})
+    """
+    inv = jnp.exp(-y)
+    lead = -(a_hp + 0.5) * y - (b_hp + 0.5 * (x - mu) ** 2) * inv
+    return lead - jax.scipy.special.log_ndtr(mu * jnp.exp(-0.5 * y))
 
 
 def gamma_shape_cond_logpdf(x, c, d, log_beta, log_param):

@@ -41,6 +41,8 @@ def save_sampler(sampler, path: str):
         "archive": sampler._archive,
         "MAP": _to_host(sampler.MAP) if sampler.MAP is not None else None,
         "output_dir": sampler.output_dir,
+        "row_names": getattr(sampler, "row_names", None),
+        "col_names": getattr(sampler, "col_names", None),
     }
     with open(path, "wb") as fh:
         pickle.dump(payload, fh, protocol=4)
@@ -84,4 +86,6 @@ def load_sampler(cls, path: str):
 
     obj.logger = RunLogger(None, obj.run_cfg.verbosity)
     obj.reference_comparison = {}
+    obj.row_names = p.get("row_names")
+    obj.col_names = p.get("col_names")
     return obj
