@@ -61,6 +61,11 @@ class ModelSpec:
     # conditional reuses Mhat_no_n, so it costs ~one extra K x G pass);
     # False reproduces the reference's kernel.
     exact_mh: bool = True
+    # Run the P+E MH sweeps as ONE fused Pallas kernel per Gibbs iteration
+    # (ops/pallas_sweeps.py) instead of ~12N XLA kernels. Pays off when
+    # per-kernel latency dominates (single chain, K*G small enough for the
+    # working set to stay in VMEM). Poisson+MH only.
+    fused_sweeps: bool = False
 
     def __post_init__(self):
         # Validity rules follow the reference check_model
@@ -89,6 +94,9 @@ class ModelSpec:
                 )
         if self.learning_rank and self.rank_method not in RANK_METHODS:
             raise ModelError(f"rank_method must be one of {RANK_METHODS}")
+        if self.fused_sweeps and not (self.likelihood == "poisson" and self.MH):
+            raise ModelError(
+                "fused_sweeps applies to the poisson+MH sampler only")
         if min(self.K, self.N, self.G) < 1:
             raise ModelError("K, N, G must be positive")
 

@@ -118,6 +118,29 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
         params["P"] = U.sample_P_poisson_gibbs(spec, prior, params, k_P)
         params["E"] = U.sample_E_poisson_gibbs(spec, prior, params, params["P"], k_E)
         Mh = m.mhat(params["P"], params["A"], params["E"])
+    elif spec.fused_sweeps and isinstance(accept_all, bool):
+        from ..ops.pallas_sweeps import fused_pe_sweeps
+
+        ks = jax.random.split(k_P, 6)
+        tiny = jnp.float32(1.2e-38)
+        K, N, G = spec.K, spec.N, spec.G
+        P_prior = U._prior_draw_P(spec, prior, ks[0])
+        E_prior = U._prior_draw_E(spec, prior, ks[1])
+        Up_P = jax.random.uniform(ks[2], (K, N), jnp.float32, minval=tiny)
+        Ua_P = jax.random.uniform(ks[3], (K, N), jnp.float32)
+        Up_E = jax.random.uniform(ks[4], (N, G), jnp.float32, minval=tiny)
+        Ua_E = jax.random.uniform(ks[5], (N, G), jnp.float32)
+        if spec.prior == "truncnormal":
+            hp_arrays = (prior["Mu_p"], prior["Sigmasq_p"],
+                         prior["Mu_e"], prior["Sigmasq_e"])
+        else:
+            hp_arrays = (prior["Lambda_p"], jnp.ones((K, N), jnp.float32),
+                         prior["Lambda_e"], jnp.ones((N, G), jnp.float32))
+        params["P"], params["E"], Mh, acc_P, acc_E = fused_pe_sweeps(
+            data, params["P"], params["E"], params["A"], Mh, acc_P, acc_E,
+            P_prior, E_prior, Up_P, Ua_P, Up_E, Ua_E, *hp_arrays,
+            prior_kind=spec.prior, exact_mh=spec.exact_mh,
+            accept_all=accept_all)
     else:
         params["P"], Mh, acc_P = U.sweep_P(
             spec, data, params, prior, Mh, acc_P, k_P, accept_all)

@@ -272,8 +272,8 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
             Mhat_prop = Mhat + A_n * jnp.outer(proposal - P_n, E_n)
             lam_old = jnp.maximum(Mhat, m.MHAT_FLOOR)
             lam_new = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
-            lp_core = (data * (jnp.log(lam_new) - jnp.log(lam_old))
-                       - (lam_new - lam_old))
+            d_lam = lam_new - lam_old
+            lp_core = data * jnp.log1p(d_lam / lam_old) - d_lam
             if spec.exact_mh:
                 # exact Hastings ratio with the true TruncNormal proposal
                 # densities. The reverse-move conditional shares Mhat_no_n
@@ -392,8 +392,8 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
             Mhat_prop = Mhat + A_n * jnp.outer(P_n, proposal - E_n)
             lam_old = jnp.maximum(Mhat, m.MHAT_FLOOR)
             lam_new = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
-            lp_core = (data * (jnp.log(lam_new) - jnp.log(lam_old))
-                       - (lam_new - lam_old))
+            d_lam = lam_new - lam_old
+            lp_core = data * jnp.log1p(d_lam / lam_old) - d_lam
             if spec.exact_mh:
                 sig_r = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
                 mu1_r = m.dot_f32(P_n, (data - Mhat_no_n) / sig_r)
@@ -535,9 +535,8 @@ def sweep_A(spec: ModelSpec, data, params: dict, R, Mhat, temperature, key):
         if spec.likelihood == "poisson":
             lam_on = jnp.maximum(Mhat_off + contrib, m.MHAT_FLOOR)
             lam_off = jnp.maximum(Mhat_off, m.MHAT_FLOOR)
-            delta = jnp.sum(
-                data * (jnp.log(lam_on) - jnp.log(lam_off)) - (lam_on - lam_off)
-            )
+            d_lam = lam_on - lam_off
+            delta = jnp.sum(data * jnp.log1p(d_lam / lam_off) - d_lam)
         else:
             r_on = data - (Mhat_off + contrib)
             r_off = data - Mhat_off

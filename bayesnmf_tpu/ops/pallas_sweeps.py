@@ -1,0 +1,224 @@
+"""Fused Pallas TPU kernel: the full sequential P+E Metropolis-Hastings
+sweeps of one Gibbs iteration as a single VMEM-resident kernel.
+
+Why: the XLA path builds ~6 small kernels per column update; at 96x500 the
+arrays are ~200KB, so per-kernel latency (not bandwidth) dominates a
+single-chain iteration. Fusing both sweeps into one kernel keeps data, Mhat,
+and the factor matrices in VMEM across all 2N column updates — one kernel
+launch per iteration instead of ~12N.
+
+Scope: the Poisson-likelihood + MH path (the reference's flagship family,
+sample_Pn.R:132-248), truncnormal/exponential priors, exact or
+reference-parity Hastings ratio, fixed or learned rank (A enters as data).
+Randomness is pre-drawn outside as uniforms; the truncated-normal draws use
+the in-kernel inverse CDF (ops/pallas_special.py; erf_inv lowers in Mosaic,
+erf/erfc do not). The math mirrors updates.sweep_P/sweep_E exactly — those
+remain the portable reference implementation (and the CPU-mesh test target).
+
+VMEM budget: all (K, G) operands resident; fits comfortably to G ~ 2000 at
+K = 96 (a few MB); larger problems use the XLA path where per-op latency no
+longer dominates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_special as ps
+
+_FLOOR = 1e-6
+_EPS = 1e-30
+
+
+def _ndtri(p):
+    # erf_inv lowers in Mosaic and is more accurate than the polynomial
+    return 1.4142135623730951 * jax.lax.erf_inv(2.0 * p - 1.0)
+
+
+def _truncnorm_icdf(u, mu, sd):
+    """Inverse-CDF truncated-normal draw, mirroring
+    distributions.truncnorm_nonneg: tail-form icdf for alpha <= 8, and the
+    Exp(1)/alpha deep-tail limit beyond (where ndtr underflows f32 and
+    erf_inv(-1) = -inf would poison the proposal)."""
+    alpha = -mu / sd
+    tail = ps.ndtr(-alpha)
+    v = jnp.maximum(u * tail, jnp.float32(1.2e-38))
+    z_icdf = jnp.maximum(-_ndtri(v), alpha)
+    a_safe = jnp.maximum(alpha, 1.0)
+    z_tail = a_safe - jnp.log(jnp.maximum(u, 1.2e-38)) / a_safe
+    z = jnp.where(alpha > 8.0, z_tail, z_icdf)
+    return jnp.maximum(mu + sd * z, 0.0)
+
+
+def _tn_logpdf(x, mu, var):
+    sd = jnp.sqrt(var)
+    z = (x - mu) / sd
+    return (-0.5 * z * z - jnp.log(sd) - 0.9189385332046727
+            - ps.log_ndtr(mu / sd))
+
+
+def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
+                  M_ref, P_in, E_in, A_ref, Mh_in, aP_in, aE_in,
+                  Pp_ref, Ep_ref, UpP_ref, UaP_ref, UpE_ref, UaE_ref,
+                  hp0_p, hp1_p, hp0_e, hp1_e,
+                  P_out, E_out, Mh_out, aP_out, aE_out):
+    """One fused P-sweep + E-sweep. hp*_p/_e are (Mu, Sigmasq) for the
+    truncnormal prior or (Lambda, unused) for the exponential prior."""
+    M = M_ref[:]
+    P_out[:] = P_in[:]
+    E_out[:] = E_in[:]
+    Mh_out[:] = Mh_in[:]
+    aP_out[:] = aP_in[:]
+    aE_out[:] = aE_in[:]
+
+    def mh_column(Mh, old, other, A_n, Mu_n, Sq_n, Lam_n, u_prop, u_acc,
+                  prior_draw, axis):
+        """Shared column/row MH update. ``other`` is E_n (1,G) for the P sweep
+        (axis=1 reduction) or P_n (K,1) for the E sweep (axis=0)."""
+        sig = jnp.maximum(Mh, _FLOOR)
+        contrib_old = old * other  # (K,G) broadcast outer
+        Mno = Mh - A_n * contrib_old
+        o2 = other * other
+        resid = (M - Mno) / sig
+        mu1 = jnp.sum(resid * other, axis=axis, keepdims=True)
+        den = A_n * jnp.sum(o2 / sig, axis=axis, keepdims=True)
+        if prior_kind == "exponential":
+            den_s = jnp.maximum(den, _EPS)
+            mu = (mu1 - Lam_n) / den_s
+            var = 1.0 / den_s
+        else:
+            den2 = den + 1.0 / Sq_n
+            mu = (mu1 + Mu_n / Sq_n) / den2
+            var = 1.0 / den2
+        sd = jnp.sqrt(var)
+        cond = _truncnorm_icdf(u_prop, mu, sd)
+        inactive = jnp.sum(o2) <= 0.0
+        proposal = jnp.where(inactive, prior_draw, cond)
+
+        Mh_prop = Mh + A_n * ((proposal - old) * other)
+        lam_o = jnp.maximum(Mh, _FLOOR)
+        lam_n = jnp.maximum(Mh_prop, _FLOOR)
+        # ratio form: log1p(d/lam_o) is well-conditioned even under the
+        # VPU's fast-log (log(lam_n)-log(lam_o) amplifies transcendental
+        # error by ~sum(M) and destroys the acceptance ratio)
+        d_lam = lam_n - lam_o
+        lp_core = M * jnp.log1p(d_lam / lam_o) - d_lam
+        if exact_mh:
+            sig_r = jnp.maximum(Mh_prop, _FLOOR)
+            mu1_r = jnp.sum(((M - Mno) / sig_r) * other, axis=axis,
+                            keepdims=True)
+            den_r = A_n * jnp.sum(o2 / sig_r, axis=axis, keepdims=True)
+            if prior_kind == "exponential":
+                den_rs = jnp.maximum(den_r, _EPS)
+                mu_r = (mu1_r - Lam_n) / den_rs
+                var_r = 1.0 / den_rs
+                lprior = -Lam_n * (proposal - old)
+            else:
+                den_r2 = den_r + 1.0 / Sq_n
+                mu_r = (mu1_r + Mu_n / Sq_n) / den_r2
+                var_r = 1.0 / den_r2
+                lprior = (_tn_logpdf(proposal, Mu_n, Sq_n)
+                          - _tn_logpdf(old, Mu_n, Sq_n))
+            log_ratio = (jnp.sum(lp_core, axis=axis, keepdims=True) + lprior
+                         + _tn_logpdf(old, mu_r, var_r)
+                         - _tn_logpdf(proposal, mu, var))
+            log_ratio = jnp.where(inactive, 0.0, log_ratio)
+        else:
+            vs_o = jnp.maximum(Mh_prop, 1.0)
+            vs_n = jnp.maximum(Mh, 1.0)
+            r_o = M - Mh
+            r_n = M - Mh_prop
+            log_ratio = jnp.sum(
+                lp_core
+                + (-0.5 * r_o * r_o / vs_o - 0.5 * jnp.log(vs_o))
+                - (-0.5 * r_n * r_n / vs_n - 0.5 * jnp.log(vs_n)),
+                axis=axis, keepdims=True)
+        ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
+        ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
+        if accept_all:
+            take = jnp.ones_like(ratio, bool)
+            rec = jnp.ones_like(ratio)
+        else:
+            take = u_acc < ratio
+            rec = ratio
+        mh_val = jnp.where(take, proposal, old)
+        new_val = jnp.where(A_n == 0.0, prior_draw, mh_val)
+        Mh_new = Mh + A_n * ((new_val - old) * other)
+        return new_val, Mh_new, rec
+
+    # ------------------------- P sweep (columns) -------------------------
+    for n in range(N):
+        A_n = A_ref[n, 0]
+        E_n = E_out[n:n + 1, :]            # (1, G)
+        P_n = P_out[:, n:n + 1]            # (K, 1)
+        Mu_n = hp0_p[:, n:n + 1]
+        Sq_n = hp1_p[:, n:n + 1]
+        Lam_n = hp0_p[:, n:n + 1]
+        new_col, Mh_new, rec = mh_column(
+            Mh_out[:], P_n, E_n, A_n, Mu_n, Sq_n, Lam_n,
+            UpP_ref[:, n:n + 1], UaP_ref[:, n:n + 1], Pp_ref[:, n:n + 1],
+            axis=1)
+        P_out[:, n:n + 1] = new_col
+        Mh_out[:] = Mh_new
+        aP_out[:, n:n + 1] = jnp.where(A_n == 0.0, aP_out[:, n:n + 1], rec)
+
+    # ------------------------- E sweep (rows) ----------------------------
+    for n in range(N):
+        A_n = A_ref[n, 0]
+        P_n = P_out[:, n:n + 1]
+        E_n = E_out[n:n + 1, :]
+        Mu_n = hp0_e[n:n + 1, :]
+        Sq_n = hp1_e[n:n + 1, :]
+        Lam_n = hp0_e[n:n + 1, :]
+        new_row, Mh_new, rec = mh_column(
+            Mh_out[:], E_n, P_n, A_n, Mu_n, Sq_n, Lam_n,
+            UpE_ref[n:n + 1, :], UaE_ref[n:n + 1, :], Ep_ref[n:n + 1, :],
+            axis=0)
+        E_out[n:n + 1, :] = new_row
+        Mh_out[:] = Mh_new
+        aE_out[n:n + 1, :] = jnp.where(A_n == 0.0, aE_out[n:n + 1, :], rec)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("prior_kind", "exact_mh", "accept_all"))
+def fused_pe_sweeps(data, P, E, A, Mhat, acc_P, acc_E,
+                    P_prior, E_prior, Up_P, Ua_P, Up_E, Ua_E,
+                    hp0_p, hp1_p, hp0_e, hp1_e,
+                    prior_kind: str, exact_mh: bool, accept_all: bool):
+    """Run both MH sweeps in one Pallas kernel.
+
+    Args mirror updates.sweep_P/sweep_E: pre-drawn prior fallbacks
+    (P_prior/E_prior), proposal/acceptance uniforms (U*), and the prior
+    parameter pair per side (Mu/Sigmasq for truncnormal, Lambda/ones for
+    exponential). Returns (P, E, Mhat, acc_P, acc_E).
+    """
+    K, N = P.shape
+    G = E.shape[1]
+    kern = functools.partial(_sweep_kernel, prior_kind, exact_mh, accept_all, N)
+    out_shapes = [
+        jax.ShapeDtypeStruct((K, N), jnp.float32),   # P
+        jax.ShapeDtypeStruct((N, G), jnp.float32),   # E
+        jax.ShapeDtypeStruct((K, G), jnp.float32),   # Mhat
+        jax.ShapeDtypeStruct((K, N), jnp.float32),   # acc_P
+        jax.ShapeDtypeStruct((N, G), jnp.float32),   # acc_E
+    ]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_in = 17
+    interpret = jax.devices()[0].platform != "tpu"
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        in_specs=[vmem] * n_in,
+        out_specs=[vmem] * 5,
+        input_output_aliases={1: 0, 2: 1, 4: 2, 5: 3, 6: 4},
+        interpret=interpret,
+    )(jnp.asarray(data, jnp.float32), P, E,
+      jnp.asarray(A, jnp.float32).reshape(N, 1), Mhat, acc_P, acc_E,
+      P_prior, E_prior, Up_P, Ua_P, Up_E, Ua_E,
+      hp0_p, hp1_p, hp0_e, hp1_e)

@@ -130,7 +130,42 @@ def bench_reference_numpy(data, iters=20, seed=1):
     return iters / dt
 
 
+def bench_chains(n_chains: int, iters: int = 100):
+    """Multi-chain throughput (chain-iterations/sec) on the local device(s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesnmf_tpu.config import ModelSpec, default_hyperprior_params
+    from bayesnmf_tpu.parallel import chains as C
+
+    data = _sim_data()
+    spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson", prior="truncnormal",
+                     MH=True)
+    hp = default_hyperprior_params(spec, float(data.mean()))
+    d = jnp.asarray(data)
+    states = C.init_chain_states(spec, hp, d, jax.random.PRNGKey(0), n_chains)
+    temps = jnp.ones((iters,), jnp.float32)
+    acc = jnp.zeros((n_chains,), bool)
+    states, _ = C.run_chunk_chains(spec, d, hp, states, temps, acc)
+    float(np.asarray(states["params"]["P"][0, 0, 0]))
+    t0 = time.perf_counter()
+    states, _ = C.run_chunk_chains(spec, d, hp, states, temps, acc)
+    float(np.asarray(states["params"]["P"][0, 0, 0]))
+    dt = time.perf_counter() - t0
+    return n_chains * iters / dt
+
+
 def main():
+    import sys
+
+    if "--chains" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--chains") + 1])
+        cips = bench_chains(n)
+        print(json.dumps({
+            "metric": f"chain_iters_per_sec_{n}chains_96x500_K8_MH",
+            "value": round(cips, 2), "unit": "chain-iterations/sec/chip",
+            "vs_baseline": None}))
+        return
     data = _sim_data()
     tpu_ips = bench_tpu(data)
     base_ips = bench_reference_numpy(data)
