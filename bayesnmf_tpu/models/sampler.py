@@ -318,7 +318,7 @@ class GibbsSampler:
         # MAP metrics: loglik/logpost averaged over the window's sample
         # metrics (renormalized P/E invalidate the prior), BIC recomputed
         rows = np.concatenate(self._metric_rows, axis=0)
-        win = rows[-self.cc.MAP_over:] if not final else rows[-self.cc.MAP_over:]
+        win = rows[-self.cc.MAP_over:]
         mean_ll = float(np.nanmean(win[:, 3]))
         mean_lp = float(np.nanmean(win[:, 4]))
         q = map_quality_metrics(self.data, self.MAP, self.spec.G, self.spec.K)
@@ -355,10 +355,33 @@ class GibbsSampler:
         if self.run_cfg.periodic_save and self.output_dir:
             self.logger.log("Saving object", 1)
             self.save_object()
+            # live-updating trace plots at every check, as the reference does
+            # (utils.R:344-347, 394-396)
+            try:
+                from ..utils import plotting
 
-    def run_gibbs_sampler(self):
+                plotting.trace_plot(self, save=True)
+                plotting.trace_plot(self, MAP_means=True, save=True)
+                import matplotlib.pyplot as plt
+
+                plt.close("all")
+            except Exception as e:  # plotting must never kill a run
+                self.logger.log(f"trace plot failed: {e}", 1)
+
+    def run_gibbs_sampler(self, profile_dir: Optional[str] = None):
         """Warmup until convergence/maxiters, then post_warmup MH inference
-        samples (run_gibbs_sampler, bayesNMF_sampler.R:265-408)."""
+        samples (run_gibbs_sampler, bayesNMF_sampler.R:265-408).
+
+        ``profile_dir`` wraps the run in a jax.profiler trace (SURVEY §5: the
+        reference only has Sys.time() wall-clock diffs)."""
+        if profile_dir:
+            import jax.profiler
+
+            with jax.profiler.trace(profile_dir):
+                return self._run_gibbs_sampler_impl()
+        return self._run_gibbs_sampler_impl()
+
+    def _run_gibbs_sampler_impl(self):
         self.logger.log("Starting Gibbs sampler", 1)
         self.logger.indent = 1
         t0 = time.time()
@@ -404,7 +427,10 @@ class GibbsSampler:
         self.logger.log("Sampler done", 1)
         self.time["total"] = (time.time() - t0) / 60.0
         self.time["per_iter"] = self.time["total"] / self.iter
-        self.logger.log(f"Total time: {round(self.time['total'], 2)} minutes", 1)
+        self.time["iters_per_sec"] = self.iter / max(self.time["total"] * 60.0,
+                                                     1e-9)
+        self.logger.log(f"Total time: {round(self.time['total'], 2)} minutes "
+                        f"({self.time['iters_per_sec']:.1f} it/s)", 1)
         if self.output_dir:
             self.logger.log("Saving final object", 1)
             self.save_object()

@@ -151,6 +151,10 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
         Mh_new = Mh + A_n * ((new_val - old) * other)
         return new_val, Mh_new, rec
 
+    # Both sweeps are unrolled over the (static, small) N: Mosaic cannot
+    # prove dynamic slices on the 128-lane axis, so a fori_loop with
+    # pl.ds(n, 1) column indexing does not lower; static indices do.
+
     # ------------------------- P sweep (columns) -------------------------
     for n in range(N):
         A_n = A_ref[n, 0]
@@ -158,9 +162,8 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
         P_n = P_out[:, n:n + 1]            # (K, 1)
         Mu_n = hp0_p[:, n:n + 1]
         Sq_n = hp1_p[:, n:n + 1]
-        Lam_n = hp0_p[:, n:n + 1]
         new_col, Mh_new, rec = mh_column(
-            Mh_out[:], P_n, E_n, A_n, Mu_n, Sq_n, Lam_n,
+            Mh_out[:], P_n, E_n, A_n, Mu_n, Sq_n, Mu_n,
             UpP_ref[:, n:n + 1], UaP_ref[:, n:n + 1], Pp_ref[:, n:n + 1],
             axis=1)
         P_out[:, n:n + 1] = new_col
@@ -174,9 +177,8 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
         E_n = E_out[n:n + 1, :]
         Mu_n = hp0_e[n:n + 1, :]
         Sq_n = hp1_e[n:n + 1, :]
-        Lam_n = hp0_e[n:n + 1, :]
         new_row, Mh_new, rec = mh_column(
-            Mh_out[:], E_n, P_n, A_n, Mu_n, Sq_n, Lam_n,
+            Mh_out[:], E_n, P_n, A_n, Mu_n, Sq_n, Mu_n,
             UpE_ref[n:n + 1, :], UaE_ref[n:n + 1, :], Ep_ref[n:n + 1, :],
             axis=0)
         E_out[n:n + 1, :] = new_row

@@ -36,8 +36,10 @@ def bench_tpu(data):
     from bayesnmf_tpu.config import ModelSpec, default_hyperprior_params
     from bayesnmf_tpu.models import gibbs
 
+    # the fused Pallas sweep kernel is the flagship single-chain path
+    # (Geweke-validated; ~1.36x over the XLA sweeps at this size)
     spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson", prior="truncnormal",
-                     MH=True)
+                     MH=True, fused_sweeps=True)
     hp = default_hyperprior_params(spec, float(data.mean()))
     d = jnp.asarray(data)
     state = gibbs.init_state(spec, hp, d, jax.random.PRNGKey(0))
