@@ -205,3 +205,15 @@ class ChainEnsemble:
         """Chain-iterations per second over the whole run."""
         secs = self.time["total"] * 60.0
         return self.n_chains * self.iter / max(secs, 1e-9)
+
+    def diagnostics(self, metrics=("logposterior", "loglikelihood",
+                                   "RMSE", "rank"),
+                    n_draws: Optional[int] = None):
+        """Cross-chain convergence report: rank-normalized split-R̂ and
+        bulk/tail ESS per metric (see parallel/diagnostics.py). Defaults to
+        the retained inference window (``n_draws=MAP_over``)."""
+        from .diagnostics import ensemble_diagnostics
+
+        if n_draws is None:
+            n_draws = self.cc.MAP_over
+        return ensemble_diagnostics(self, metrics=metrics, n_draws=n_draws)

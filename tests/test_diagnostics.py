@@ -92,3 +92,7 @@ def test_ensemble_diagnostics_report():
     # fixed rank → the rank trace is constant → flagged, R̂ defined as 1
     row = df[df["metric"] == "rank"].iloc[0]
     assert row["constant"] and row["rhat"] == 1.0
+    # the convenience method defaults the window to MAP_over
+    df2 = ens.diagnostics()
+    assert set(df2["metric"]) == set(df["metric"])
+    assert np.isfinite(df2["rhat"]).all()
