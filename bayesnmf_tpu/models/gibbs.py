@@ -102,7 +102,20 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
     prior params → P sweep → E sweep → [R, A sweep] → [Z] → [sigmasq].
     """
     key = state["key"]
-    k_pp, k_P, k_E, k_R, k_A, k_Z, k_s, k_next = jax.random.split(key, 8)
+    # split only the keys this spec consumes (threefry splits are ~12us for
+    # 8 keys on-device — measurable at small problem sizes)
+    n_extra = 2 * spec.learning_rank + spec.needs_Z + spec.needs_sigmasq
+    ks_all = jax.random.split(key, 4 + n_extra)
+    k_pp, k_P, k_E, k_next = ks_all[0], ks_all[1], ks_all[2], ks_all[3]
+    _i = 4
+    if spec.learning_rank:
+        k_R, k_A = ks_all[_i], ks_all[_i + 1]
+        _i += 2
+    if spec.needs_Z:
+        k_Z = ks_all[_i]
+        _i += 1
+    if spec.needs_sigmasq:
+        k_s = ks_all[_i]
     params = dict(state["params"])
 
     prior = U.sample_prior_params(spec, hp, params, state["prior"], k_pp)
@@ -121,15 +134,22 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
     elif spec.fused_sweeps and isinstance(accept_all, bool):
         from ..ops.pallas_sweeps import fused_pe_sweeps
 
-        ks = jax.random.split(k_P, 6)
         tiny = jnp.float32(1.2e-38)
         K, N, G = spec.K, spec.N, spec.G
-        P_prior = U._prior_draw_P(spec, prior, ks[0])
-        E_prior = U._prior_draw_E(spec, prior, ks[1])
-        Up_P = jax.random.uniform(ks[2], (K, N), jnp.float32, minval=tiny)
-        Ua_P = jax.random.uniform(ks[3], (K, N), jnp.float32)
-        Up_E = jax.random.uniform(ks[4], (N, G), jnp.float32, minval=tiny)
-        Ua_E = jax.random.uniform(ks[5], (N, G), jnp.float32)
+        # ONE uniform launch covers all six tensors the kernel consumes
+        # (prior-fallback, proposal, and acceptance uniforms for both
+        # sweeps); the kernel turns the prior-fallback uniforms into prior
+        # draws in VMEM. RNG launches dominate small-problem iterations.
+        n_p, n_e = K * N, N * G
+        u = jax.random.uniform(k_P, (3 * (n_p + n_e),), jnp.float32,
+                               minval=tiny)
+        Upr_P = u[:n_p].reshape(K, N)
+        Up_P = u[n_p:2 * n_p].reshape(K, N)
+        Ua_P = u[2 * n_p:3 * n_p].reshape(K, N)
+        off = 3 * n_p
+        Upr_E = u[off:off + n_e].reshape(N, G)
+        Up_E = u[off + n_e:off + 2 * n_e].reshape(N, G)
+        Ua_E = u[off + 2 * n_e:].reshape(N, G)
         if spec.prior == "truncnormal":
             hp_arrays = (prior["Mu_p"], prior["Sigmasq_p"],
                          prior["Mu_e"], prior["Sigmasq_e"])
@@ -138,7 +158,7 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
                          prior["Lambda_e"], jnp.ones((N, G), jnp.float32))
         params["P"], params["E"], Mh, acc_P, acc_E = fused_pe_sweeps(
             data, params["P"], params["E"], params["A"], Mh, acc_P, acc_E,
-            P_prior, E_prior, Up_P, Ua_P, Up_E, Ua_E, *hp_arrays,
+            Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E, *hp_arrays,
             prior_kind=spec.prior, exact_mh=spec.exact_mh,
             accept_all=accept_all)
     else:

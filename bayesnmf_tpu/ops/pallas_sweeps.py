@@ -64,7 +64,7 @@ def _tn_logpdf(x, mu, var):
 
 def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
                   M_ref, P_in, E_in, A_ref, Mh_in, aP_in, aE_in,
-                  Pp_ref, Ep_ref, UpP_ref, UaP_ref, UpE_ref, UaE_ref,
+                  UprP_ref, UprE_ref, UpP_ref, UaP_ref, UpE_ref, UaE_ref,
                   hp0_p, hp1_p, hp0_e, hp1_e,
                   P_out, E_out, Mh_out, aP_out, aE_out):
     """One fused P-sweep + E-sweep. hp*_p/_e are (Mu, Sigmasq) for the
@@ -77,9 +77,15 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
     aE_out[:] = aE_in[:]
 
     def mh_column(Mh, old, other, A_n, Mu_n, Sq_n, Lam_n, u_prop, u_acc,
-                  prior_draw, axis):
+                  u_prior, axis):
         """Shared column/row MH update. ``other`` is E_n (1,G) for the P sweep
         (axis=1 reduction) or P_n (K,1) for the E sweep (axis=0)."""
+        # prior fallback draw from its uniform, in-kernel (free VPU work;
+        # saves two host-graph RNG launches per iteration)
+        if prior_kind == "exponential":
+            prior_draw = -jnp.log(u_prior) / Lam_n
+        else:
+            prior_draw = _truncnorm_icdf(u_prior, Mu_n, jnp.sqrt(Sq_n))
         sig = jnp.maximum(Mh, _FLOOR)
         contrib_old = old * other  # (K,G) broadcast outer
         Mno = Mh - A_n * contrib_old
@@ -164,7 +170,7 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
         Sq_n = hp1_p[:, n:n + 1]
         new_col, Mh_new, rec = mh_column(
             Mh_out[:], P_n, E_n, A_n, Mu_n, Sq_n, Mu_n,
-            UpP_ref[:, n:n + 1], UaP_ref[:, n:n + 1], Pp_ref[:, n:n + 1],
+            UpP_ref[:, n:n + 1], UaP_ref[:, n:n + 1], UprP_ref[:, n:n + 1],
             axis=1)
         P_out[:, n:n + 1] = new_col
         Mh_out[:] = Mh_new
@@ -179,7 +185,7 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
         Sq_n = hp1_e[n:n + 1, :]
         new_row, Mh_new, rec = mh_column(
             Mh_out[:], E_n, P_n, A_n, Mu_n, Sq_n, Mu_n,
-            UpE_ref[n:n + 1, :], UaE_ref[n:n + 1, :], Ep_ref[n:n + 1, :],
+            UpE_ref[n:n + 1, :], UaE_ref[n:n + 1, :], UprE_ref[n:n + 1, :],
             axis=0)
         E_out[n:n + 1, :] = new_row
         Mh_out[:] = Mh_new
@@ -190,15 +196,17 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
     jax.jit,
     static_argnames=("prior_kind", "exact_mh", "accept_all"))
 def fused_pe_sweeps(data, P, E, A, Mhat, acc_P, acc_E,
-                    P_prior, E_prior, Up_P, Ua_P, Up_E, Ua_E,
+                    Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E,
                     hp0_p, hp1_p, hp0_e, hp1_e,
                     prior_kind: str, exact_mh: bool, accept_all: bool):
     """Run both MH sweeps in one Pallas kernel.
 
-    Args mirror updates.sweep_P/sweep_E: pre-drawn prior fallbacks
-    (P_prior/E_prior), proposal/acceptance uniforms (U*), and the prior
-    parameter pair per side (Mu/Sigmasq for truncnormal, Lambda/ones for
-    exponential). Returns (P, E, Mhat, acc_P, acc_E).
+    Args mirror updates.sweep_P/sweep_E: prior-fallback uniforms
+    (Upr_P/Upr_E, transformed to prior draws in-kernel), proposal/acceptance
+    uniforms (U*), and the prior parameter pair per side (Mu/Sigmasq for
+    truncnormal, Lambda/ones for exponential). All six uniform tensors may be
+    slices of ONE jax.random.uniform call (RNG launches, not FLOPs, dominate
+    a small-problem iteration). Returns (P, E, Mhat, acc_P, acc_E).
     """
     K, N = P.shape
     G = E.shape[1]
@@ -222,5 +230,5 @@ def fused_pe_sweeps(data, P, E, A, Mhat, acc_P, acc_E,
         interpret=interpret,
     )(jnp.asarray(data, jnp.float32), P, E,
       jnp.asarray(A, jnp.float32).reshape(N, 1), Mhat, acc_P, acc_E,
-      P_prior, E_prior, Up_P, Ua_P, Up_E, Ua_E,
+      Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E,
       hp0_p, hp1_p, hp0_e, hp1_e)

