@@ -79,3 +79,33 @@ def test_chain_ensemble_on_mesh():
                         convergence_control=cc, mesh=mesh, seed=1)
     ens.run()
     assert (ens.learned_ranks >= 0).all()
+
+
+def test_multihost_single_process_paths():
+    from bayesnmf_tpu.parallel import multihost as MH
+
+    # off-cluster initialize is a no-op
+    assert MH.initialize() is False
+    assert MH.n_hosts() == 1
+
+    # single-host global mesh == local mesh layout
+    mesh = MH.global_mesh(4, 2)
+    assert mesh.shape == {"chain": 4, "g": 2}
+
+    import pytest
+    with pytest.raises(ValueError):
+        MH.global_mesh(3, 2)  # 6 != 8 devices
+
+    # G-sharded data placement + a sharded ensemble chunk on that mesh
+    Mdat, _ = sim(G=16)
+    data = MH.shard_data(Mdat, mesh)
+    assert data.shape == (12, 16)
+    np.testing.assert_allclose(np.asarray(data), Mdat)
+    spec = ModelSpec(K=12, N=3, G=16, likelihood="poisson",
+                     prior="truncnormal", MH=True)
+    hp = default_hyperprior_params(spec, float(Mdat.mean()))
+    init, run = C.make_sharded_chain_runner(spec, mesh, n_chains=4)
+    states = init(hp, data, jax.random.PRNGKey(0))
+    temps = jnp.ones(3, jnp.float32)
+    states, samples = run(data, hp, states, temps, jnp.zeros(4, bool))
+    assert np.isfinite(np.asarray(samples["metrics"])).all()
