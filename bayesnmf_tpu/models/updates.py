@@ -272,16 +272,20 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
     E, A = params["E"], params["A"]
     sigmasq = params.get("sigmasq")
     K, N, G = spec.K, spec.N, spec.G
-    k_prior_all, key = jax.random.split(key)
-    keys = jax.random.split(key, 2 * N)
+    k_prior_all, k_u_all = jax.random.split(key)
     mh = spec.likelihood == "poisson" and spec.MH
     # prior fallback columns for the whole sweep in ONE vectorized draw
     # (keeps the op chain inside the sequential loop short)
     P_prior = _prior_draw_P(spec, prior, k_prior_all)
+    # ONE uniform launch feeds every column's proposal pair (truncated-normal
+    # icdf) and MH-acceptance draw — per-column RNG launches dominate the
+    # sweep's latency otherwise
+    U = jax.random.uniform(k_u_all, (3, N, K), jnp.float32,
+                           minval=jnp.float32(1.2e-38))
 
     def body(n, carry):
         P, Mhat, acc_P = carry
-        k_prop, k_u = keys[2 * n], keys[2 * n + 1]
+        u_col = jax.lax.dynamic_index_in_dim(U, n, axis=1, keepdims=False)
         A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
         E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)  # (G,)
         P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)  # (K,)
@@ -306,7 +310,7 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
             den2 = den + 1.0 / Sq_n
             mu = (mu1 + Mu_n / Sq_n) / den2
             var = 1.0 / den2
-        cond_draw = dist.truncnorm_nonneg(k_prop, mu, var)
+        cond_draw = dist.truncnorm_nonneg_from_u(u_col[0], u_col[1], mu, var)
 
         # prior fallback: excluded signature or all-zero exposure row
         # (sample_Pn.R:12-13, 56)
@@ -368,7 +372,7 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
                 )
             ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
             ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
-            u = jax.random.uniform(k_u, (K,))
+            u = u_col[2]
             if accept_all is True:
                 take = jnp.ones((K,), bool)
                 ratio_rec = jnp.ones((K,))
@@ -401,14 +405,17 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
     P, A = params["P"], params["A"]
     sigmasq = params.get("sigmasq")
     K, N, G = spec.K, spec.N, spec.G
-    k_prior_all, key = jax.random.split(key)
-    keys = jax.random.split(key, 2 * N)
+    k_prior_all, k_u_all = jax.random.split(key)
     mh = spec.likelihood == "poisson" and spec.MH
     E_prior = _prior_draw_E(spec, prior, k_prior_all)
+    # one uniform launch for all rows' proposal pairs + acceptance draws
+    # (mirrors sweep_P)
+    U = jax.random.uniform(k_u_all, (3, N, G), jnp.float32,
+                           minval=jnp.float32(1.2e-38))
 
     def body(n, carry):
         E, Mhat, acc_E = carry
-        k_prop, k_u = keys[2 * n], keys[2 * n + 1]
+        u_row = jax.lax.dynamic_index_in_dim(U, n, axis=1, keepdims=False)
         A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
         P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)  # (K,)
         E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)  # (G,)
@@ -431,7 +438,7 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
             den2 = den + 1.0 / Sq_n
             mu = (mu1 + Mu_n / Sq_n) / den2
             var = 1.0 / den2
-        cond_draw = dist.truncnorm_nonneg(k_prop, mu, var)
+        cond_draw = dist.truncnorm_nonneg_from_u(u_row[0], u_row[1], mu, var)
 
         prior_row = jax.lax.dynamic_index_in_dim(E_prior, n, axis=0, keepdims=False)
         inactive_P = jnp.sum(P_n * P_n) <= 0.0
@@ -477,7 +484,7 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
                 )
             ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
             ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
-            u = jax.random.uniform(k_u, (G,))
+            u = u_row[2]
             if accept_all is True:
                 take = jnp.ones((G,), bool)
                 ratio_rec = jnp.ones((G,))

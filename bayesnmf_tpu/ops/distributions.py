@@ -18,32 +18,48 @@ import jax
 import jax.numpy as jnp
 
 
-def _std_normal_lower_tail(key, alpha, shape):
-    """Sample Z ~ N(0,1) conditioned on Z >= alpha, elementwise, f32-robust.
+_TINY = jnp.float32(1.1754944e-38)  # min normal f32
+
+
+def _std_normal_lower_tail_from_u(u1, u2, alpha):
+    """Z ~ N(0,1) | Z >= alpha from two pre-drawn uniforms in (0,1],
+    elementwise, f32-robust.
 
     Two exact schemes selected per element:
       - tail-form inverse CDF  z = -ndtri(u * ndtr(-alpha))  (also covers the
         untruncated case: for alpha << 0 it degenerates to plain inverse-CDF
         sampling), valid until ndtr(-alpha) underflows (~alpha > 9 in f32);
-      - Marsaglia/Rayleigh-tail rejection for large alpha: propose
-        t = sqrt(alpha^2 - 2 ln u1), accept iff u2 < alpha/t (acceptance ~1
-        for alpha >= 8, so a few fixed rounds suffice).
-    """
-    k_u, k_e = jax.random.split(key)
-    tiny = jnp.float32(1.1754944e-38)  # min normal f32
-    u = jax.random.uniform(k_u, shape, jnp.float32, minval=tiny, maxval=1.0)
-    tail = jax.scipy.special.ndtr(-alpha)
-    v = jnp.maximum(u * tail, tiny)
-    z_icdf = jnp.maximum(-jax.scipy.special.ndtri(v), alpha)
+      - deep tail (alpha > 8): the conditional law of alpha*(Z - alpha)
+        converges to Exp(1) = -log(u2); the O(1/alpha^2) relative error
+        (<1.6%) applies only to a region of prior mass ~ndtr(-8) ≈ 1e-15 and
+        avoids a rejection loop inside the already-sequential Gibbs sweeps.
 
-    # Deep tail (alpha > 8, beyond f32 ndtr resolution): the conditional law
-    # of alpha*(Z - alpha) converges to Exp(1); the O(1/alpha^2) relative
-    # error (<1.6%) applies only to a region of prior mass ~ndtr(-8) ≈ 1e-15,
-    # and costs a single exponential draw instead of a rejection loop inside
-    # the already-sequential Gibbs sweeps.
+    Taking uniforms (not a key) lets callers feed MANY truncated-normal
+    draws from ONE jax.random.uniform launch — RNG launches, not FLOPs,
+    dominate small-problem Gibbs iterations.
+    """
+    tail = jax.scipy.special.ndtr(-alpha)
+    v = jnp.maximum(u1 * tail, _TINY)
+    z_icdf = jnp.maximum(-jax.scipy.special.ndtri(v), alpha)
     a_safe = jnp.maximum(alpha, 1.0)
-    z_tail = a_safe + jax.random.exponential(k_e, shape, jnp.float32) / a_safe
+    z_tail = a_safe - jnp.log(jnp.maximum(u2, _TINY)) / a_safe
     return jnp.where(alpha > 8.0, z_tail, z_icdf)
+
+
+def _std_normal_lower_tail(key, alpha, shape):
+    """Keyed wrapper over _std_normal_lower_tail_from_u (one uniform launch)."""
+    u = jax.random.uniform(key, (2,) + shape, jnp.float32, minval=_TINY,
+                           maxval=1.0)
+    return _std_normal_lower_tail_from_u(u[0], u[1], alpha)
+
+
+def truncnorm_nonneg_from_u(u1, u2, mu, sigmasq):
+    """truncnorm_nonneg from two pre-drawn uniforms (see
+    _std_normal_lower_tail_from_u for why)."""
+    mu = jnp.asarray(mu, jnp.float32)
+    sd = jnp.sqrt(jnp.asarray(sigmasq, jnp.float32))
+    z = _std_normal_lower_tail_from_u(u1, u2, -mu / sd)
+    return jnp.maximum(mu + sd * z, 0.0)
 
 
 def truncnorm_nonneg(key, mu, sigmasq, shape=None):
