@@ -143,10 +143,9 @@ class ConvergenceControl:
             )
         if self.miniters >= self.maxiters:
             object.__setattr__(self, "miniters", 0)
-        if self.MAP_over % self.MAP_every != 0:
-            # we run the sampler in chunks of MAP_every and window MAP_over
-            # samples, so require divisibility for the on-device ring buffers.
-            raise ModelError("MAP_over must be a multiple of MAP_every")
+        # No divisibility constraint between MAP_over and MAP_every: the
+        # sampler runs in MAP_every-aligned chunks and the window gather
+        # slices partial chunks, same as the reference's arbitrary windows.
 
 
 def default_hyperprior_params(spec: ModelSpec, data_mean: float) -> dict:

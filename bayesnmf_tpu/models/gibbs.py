@@ -24,6 +24,10 @@ from . import updates as U
 METRIC_NAMES = (
     "iter", "RMSE", "KL", "loglikelihood", "logposterior", "n_params", "BIC",
     "rank", "temp", "P_mean_acceptance_rate", "E_mean_acceptance_rate",
+    # count of numeric-overflow fallbacks this iteration (MH ratios clamped
+    # NaN→0 + A-sweep posteriors clamped NaN→1/2) — the observable analog of
+    # the reference's logged NA-overflow ladder (sample_params.R:136-162)
+    "NA_events",
 )
 N_METRICS = len(METRIC_NAMES)
 
@@ -94,12 +98,17 @@ def init_state(spec: ModelSpec, hp: dict, data, key, init_params=None,
 
 
 def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
-               accept_all):
+               accept_all, record_full: bool = False):
     """One full Gibbs sweep; returns (new_state, sample_out).
 
     Update order matches run_gibbs_sampler + sample_params_
     (bayesNMF_sampler.R:275-285, sample_params.R:51-89):
     prior params → P sweep → E sweep → [R, A sweep] → [Z] → [sigmasq].
+
+    ``record_full`` adds the per-iteration prior params, sigmasq, and MH
+    acceptance matrices to sample_out, matching the reference's record_sample
+    (bayesNMF_sampler.R:651-672) which deep-copies every parameter each
+    iteration.
     """
     key = state["key"]
     # split only the keys this spec consumes (threefry splits are ~12us for
@@ -127,21 +136,26 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
 
     acc_P = state.get("acc_P")
     acc_E = state.get("acc_E")
+    fused = (spec.fused_sweeps and isinstance(accept_all, bool)
+             and not (spec.likelihood == "poisson" and not spec.MH))
     if spec.likelihood == "poisson" and not spec.MH:
         params["P"] = U.sample_P_poisson_gibbs(spec, prior, params, k_P)
         params["E"] = U.sample_E_poisson_gibbs(spec, prior, params, params["P"], k_E)
         Mh = m.mhat(params["P"], params["A"], params["E"])
     elif spec.fused_sweeps and isinstance(accept_all, bool):
-        from ..ops.pallas_sweeps import fused_pe_sweeps
+        from ..ops.pallas_sweeps import fused_gibbs_sweeps
 
         tiny = jnp.float32(1.2e-38)
         K, N, G = spec.K, spec.N, spec.G
-        # ONE uniform launch covers all six tensors the kernel consumes
+        # ONE uniform launch covers every tensor the kernel consumes
         # (prior-fallback, proposal, and acceptance uniforms for both
-        # sweeps); the kernel turns the prior-fallback uniforms into prior
-        # draws in VMEM. RNG launches dominate small-problem iterations.
+        # sweeps, plus — when rank learning — the Gumbel noise for the R
+        # categorical and the A Bernoulli uniforms); the kernel turns the
+        # prior-fallback uniforms into prior draws in VMEM. RNG launches
+        # dominate small-problem iterations.
         n_p, n_e = K * N, N * G
-        u = jax.random.uniform(k_P, (3 * (n_p + n_e),), jnp.float32,
+        n_rank = 2 * (N + 1) if spec.learning_rank else 0
+        u = jax.random.uniform(k_P, (3 * (n_p + n_e) + n_rank,), jnp.float32,
                                minval=tiny)
         Upr_P = u[:n_p].reshape(K, N)
         Up_P = u[n_p:2 * n_p].reshape(K, N)
@@ -149,28 +163,46 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
         off = 3 * n_p
         Upr_E = u[off:off + n_e].reshape(N, G)
         Up_E = u[off + n_e:off + 2 * n_e].reshape(N, G)
-        Ua_E = u[off + 2 * n_e:].reshape(N, G)
+        Ua_E = u[off + 2 * n_e:off + 3 * n_e].reshape(N, G)
+        rank_pack = jnp.zeros((3, N + 1), jnp.float32)
+        if spec.learning_rank:
+            off = 3 * (n_p + n_e)
+            gumbel = -jnp.log(-jnp.log(u[off:off + N + 1]))
+            u_A = jnp.concatenate(
+                [u[off + N + 1:off + 2 * N + 1], jnp.zeros((1,), jnp.float32)])
+            row0 = jnp.zeros((N + 1,), jnp.float32).at[0].set(
+                jnp.asarray(temperature, jnp.float32))
+            rank_pack = jnp.stack([row0, gumbel, u_A])
         if spec.prior == "truncnormal":
             hp_arrays = (prior["Mu_p"], prior["Sigmasq_p"],
                          prior["Mu_e"], prior["Sigmasq_e"])
         else:
             hp_arrays = (prior["Lambda_p"], jnp.ones((K, N), jnp.float32),
                          prior["Lambda_e"], jnp.ones((N, G), jnp.float32))
-        params["P"], params["E"], Mh, acc_P, acc_E = fused_pe_sweeps(
+        (params["P"], params["E"], Mh, acc_P, acc_E, A_new,
+         R_new, na_events) = fused_gibbs_sweeps(
             data, params["P"], params["E"], params["A"], Mh, acc_P, acc_E,
-            Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E, *hp_arrays,
+            Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E, *hp_arrays, rank_pack,
             prior_kind=spec.prior, exact_mh=spec.exact_mh,
-            accept_all=accept_all)
+            accept_all=accept_all,
+            rank_method=spec.rank_method if spec.learning_rank else None)
+        if spec.learning_rank:
+            params["A"] = A_new
+            params["R"] = R_new.astype(jnp.int32)
     else:
-        params["P"], Mh, acc_P = U.sweep_P(
+        params["P"], Mh, acc_P, nan_P = U.sweep_P(
             spec, data, params, prior, Mh, acc_P, k_P, accept_all)
-        params["E"], Mh, acc_E = U.sweep_E(
+        params["E"], Mh, acc_E, nan_E = U.sweep_E(
             spec, data, params, prior, Mh, acc_E, k_E, accept_all)
+        na_events = nan_P + nan_E
 
-    if spec.learning_rank:
+    if spec.likelihood == "poisson" and not spec.MH:
+        na_events = jnp.float32(0.0)  # conjugate path: no clamped ratios
+    if spec.learning_rank and not fused:
         params["R"] = U.sample_R(spec, params["A"], temperature, k_R)
-        params["A"], Mh = U.sweep_A(
+        params["A"], Mh, nan_A = U.sweep_A(
             spec, data, params, params["R"], Mh, temperature, k_A)
+        na_events = na_events + nan_A
 
     if spec.needs_Z:
         params["Zsum_g"], params["Zsum_k"] = U.sample_Z_sums(spec, data, params, k_Z)
@@ -184,15 +216,24 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
         new_state["acc_E"] = acc_E
 
     metrics = _metrics_row(spec, data, params, prior, Mh, new_iter, temperature,
-                           acc_P, acc_E)
+                           acc_P, acc_E, na_events)
     sample_out = {
         "P": params["P"], "E": params["E"], "A": params["A"],
         "metrics": metrics,
     }
+    if record_full:
+        # full posterior histories (record_sample, bayesNMF_sampler.R:651-672)
+        sample_out["prior"] = prior
+        if spec.needs_sigmasq:
+            sample_out["sigmasq"] = params["sigmasq"]
+        if spec.MH:
+            sample_out["acc_P"] = acc_P
+            sample_out["acc_E"] = acc_E
     return new_state, sample_out
 
 
-def _metrics_row(spec, data, params, prior, Mh, it, temperature, acc_P, acc_E):
+def _metrics_row(spec, data, params, prior, Mh, it, temperature, acc_P, acc_E,
+                 na_events=0.0):
     """Per-iteration metrics (compute_metrics_, utils.R:412-455)."""
     ll_mat = m.loglik_mat(data, Mh, spec.likelihood, params.get("sigmasq"))
     loglik = jnp.sum(ll_mat)
@@ -218,11 +259,13 @@ def _metrics_row(spec, data, params, prior, Mh, it, temperature, acc_P, acc_E):
         jnp.asarray(temperature, jnp.float32),
         accP_mean,
         accE_mean,
+        jnp.asarray(na_events, jnp.float32),
     ])
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def snapshot_sample(spec: ModelSpec, data, state: dict, temperature):
+@partial(jax.jit, static_argnames=("spec", "record_full"))
+def snapshot_sample(spec: ModelSpec, data, state: dict, temperature,
+                    record_full: bool = False):
     """Sample-out record of the *current* state (used for the initial sample,
     bayesNMF_sampler.R:240-257) without advancing the chain."""
     params = state["params"]
@@ -230,8 +273,16 @@ def snapshot_sample(spec: ModelSpec, data, state: dict, temperature):
     metrics = _metrics_row(
         spec, data, params, state["prior"], Mh, state["iter"], temperature,
         state.get("acc_P"), state.get("acc_E"))
-    return {"P": params["P"], "E": params["E"], "A": params["A"],
-            "metrics": metrics}
+    out = {"P": params["P"], "E": params["E"], "A": params["A"],
+           "metrics": metrics}
+    if record_full:
+        out["prior"] = state["prior"]
+        if spec.needs_sigmasq:
+            out["sigmasq"] = params["sigmasq"]
+        if spec.MH:
+            out["acc_P"] = state["acc_P"]
+            out["acc_E"] = state["acc_E"]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -239,8 +290,10 @@ def snapshot_sample(spec: ModelSpec, data, state: dict, temperature):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("spec", "accept_all"), donate_argnames=("state",))
-def run_chunk(spec: ModelSpec, data, hp: dict, state: dict, temps, accept_all: bool):
+@partial(jax.jit, static_argnames=("spec", "accept_all", "record_full"),
+         donate_argnames=("state",))
+def run_chunk(spec: ModelSpec, data, hp: dict, state: dict, temps,
+              accept_all: bool, record_full: bool = False):
     """Run ``len(temps)`` Gibbs iterations on device in one lax.scan.
 
     ``accept_all`` is static: the warmup (accept-all MH proposals,
@@ -248,11 +301,12 @@ def run_chunk(spec: ModelSpec, data, hp: dict, state: dict, temps, accept_all: b
     specialized programs with zero runtime dispatch.
 
     Returns (state, samples) where samples stacks per-iteration P/E/A and the
-    metrics rows along a leading axis of length len(temps).
+    metrics rows along a leading axis of length len(temps); ``record_full``
+    adds prior-param/sigmasq/acceptance histories (record_sample parity).
     """
 
     def body(st, temp):
-        return gibbs_step(spec, data, hp, st, temp, accept_all)
+        return gibbs_step(spec, data, hp, st, temp, accept_all, record_full)
 
     return jax.lax.scan(body, state, temps)
 

@@ -70,8 +70,15 @@ class GibbsSampler:
         verbosity: int = 1,
         periodic_save: bool = True,
         save_all_samples: bool = True,
+        record_history: str = "basic",
         seed: int = 0,
     ):
+        if record_history not in ("basic", "full"):
+            raise ValueError("record_history must be 'basic' or 'full'")
+        # "full" records prior params, sigmasq, and MH acceptance matrices
+        # every iteration, like the reference's record_sample
+        # (bayesNMF_sampler.R:651-672); "basic" records P/E/A + metrics only.
+        self.record_full = record_history == "full"
         # DataFrame input keeps its dimnames (like an R matrix): row names
         # drive signature plots and reference row-reordering, column names
         # label exposures.
@@ -167,7 +174,8 @@ class GibbsSampler:
 
         # record the initial sample (iteration 1), bayesNMF_sampler.R:240-257
         snap = gibbs.snapshot_sample(
-            self.spec, self.data, self.state, jnp.float32(self.temp_sched[1]))
+            self.spec, self.data, self.state, jnp.float32(self.temp_sched[1]),
+            record_full=self.record_full)
         self._append_chunk(jax.tree.map(lambda x: x[None], snap), start_iter=1)
 
     # ------------------------------------------------------------------
@@ -182,10 +190,10 @@ class GibbsSampler:
         self._window.append(chunk)
         self._metric_rows.append(np.asarray(samples["metrics"]))
         if self._archive is not None:
-            self._archive.append(
-                {k: np.asarray(v) for k, v in samples.items() if k != "metrics"}
-                | {"start_iter": start_iter}
-            )
+            extra = jax.tree.map(
+                np.asarray,
+                {k: v for k, v in samples.items() if k != "metrics"})
+            self._archive.append(extra | {"start_iter": start_iter})
 
     def _gather_window(self, end_iter: int, n_samples: int):
         """Stack the last ``n_samples`` recorded samples ending at end_iter."""
@@ -224,13 +232,47 @@ class GibbsSampler:
     @property
     def samples(self):
         """Dict of stacked sample histories (save_all_samples=True) or the
-        retained window."""
+        retained window.
+
+        With ``record_history='full'`` this additionally exposes the prior
+        parameter histories under their reference names (e.g.
+        ``samples['Lambda_p']``, ``samples['Mu_e']``), ``samples['sigmasq']``
+        and the per-entry MH acceptance histories ``samples['acc_P']`` /
+        ``samples['acc_E']`` — parity with the reference's
+        ``sampler$samples`` (bayesNMF_sampler.R:651-672).
+        """
         src = self._archive if self._archive is not None else list(self._window)
-        return {
+        out = {
             "P": np.concatenate([np.asarray(c["P"]) for c in src]),
             "E": np.concatenate([np.asarray(c["E"]) for c in src]),
             "A": np.concatenate([np.asarray(c["A"]) for c in src]),
             "start_iter": src[0]["start_iter"],
+        }
+        for key in ("sigmasq", "acc_P", "acc_E"):
+            if key in src[0]:
+                out[key] = np.concatenate([np.asarray(c[key]) for c in src])
+        if "prior" in src[0]:
+            for pk in src[0]["prior"]:
+                out[pk] = np.concatenate(
+                    [np.asarray(c["prior"][pk]) for c in src])
+        return out
+
+    def posterior_summary(self, name: str, q=(0.025, 0.5, 0.975)):
+        """Posterior mean + quantiles of a recorded scalar-per-entry history
+        (e.g. 'sigmasq', 'Lambda_p', 'acc_P') over the retained samples —
+        the diagnostic use the reference enables by keeping samples$sigmasq,
+        samples$Lambda_p, etc. Requires record_history='full' for
+        prior-param/acceptance names."""
+        hist = self.samples
+        if name not in hist:
+            raise KeyError(
+                f"{name!r} not recorded; run with record_history='full' "
+                f"(available: {sorted(k for k in hist if k != 'start_iter')})")
+        x = np.asarray(hist[name])
+        return {
+            "mean": x.mean(axis=0),
+            "quantiles": {qi: np.quantile(x, qi, axis=0) for qi in q},
+            "n_samples": x.shape[0],
         }
 
     # ------------------------------------------------------------------
@@ -278,7 +320,9 @@ class GibbsSampler:
         """Compute the MAP estimate over a sample window (get_MAP_,
         utils.R:194-288); updates self.MAP / self.credible_intervals."""
         end_iter = self.iter if end_iter is None else end_iter
-        n_samples = n_samples or self.cc.MAP_over
+        # over however many samples exist, up to MAP_over (utils.R:207:
+        # MAP_idx = max(1, iter-MAP_over+1):iter)
+        n_samples = min(n_samples or self.cc.MAP_over, end_iter)
         if end_iter != self.iter and self._archive is None:
             raise ValueError(
                 "end_iter requires save_all_samples=True (utils.R:210-212)")
@@ -301,7 +345,7 @@ class GibbsSampler:
             self.temp_sched[self.iter + 1: self.iter + steps + 1])
         self.state, samples = gibbs.run_chunk(
             self.spec, self.data, self.hyperprior_params, self.state, temps,
-            accept_all)
+            accept_all, record_full=self.record_full)
         self._append_chunk(samples, start_iter=self.iter + 1)
         self.iter += steps
 
@@ -338,6 +382,15 @@ class GibbsSampler:
             row["P_mean_acceptance_rate"] = float(win[-1, 9])
             row["E_mean_acceptance_rate"] = float(win[-1, 10])
         self.MAP_metrics.append(row)
+
+        # surface numeric-overflow fallbacks (the reference logs its
+        # NA-overflow ladder state, sample_params.R:136-162)
+        na_col = gibbs.METRIC_NAMES.index("NA_events")
+        na_events = float(np.nansum(self._metric_rows[-1][:, na_col]))
+        if na_events > 0:
+            self.logger.log(
+                f"{int(na_events)} numeric-overflow fallbacks in the last "
+                "chunk (MH ratios clamped NaN→0 / inclusion odds NaN→1/2)", 1)
 
         metric = row[self.cc.metric]
         if self.cc.metric in ("loglikelihood", "logposterior"):
@@ -388,13 +441,15 @@ class GibbsSampler:
         cc = self.cc
 
         # ---- warmup phase -------------------------------------------------
+        # convergence is checked every MAP_every iterations from the start,
+        # over however many samples exist — matching the reference
+        # (bayesNMF_sampler.R:288-296, utils.R:207), not only once MAP_over
+        # samples have accumulated.
         while not self.tracker.converged and self.iter < cc.maxiters:
             boundary = min(
                 ((self.iter // cc.MAP_every) + 1) * cc.MAP_every, cc.maxiters)
             self._run_chunk(boundary - self.iter, accept_all=self.spec.MH)
-            if (self.iter % cc.MAP_every == 0
-                    and self.iter >= max(cc.MAP_over, cc.MAP_every)) \
-                    or self.iter >= cc.maxiters:
+            if self.iter % cc.MAP_every == 0 or self.iter >= cc.maxiters:
                 self._map_check()
 
         # ---- post-warmup MH inference phase ------------------------------

@@ -267,7 +267,10 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
     """Sample all N columns of P sequentially from their full conditionals.
 
     Parity: sample_Pn / sample_Pn_normal / MH_Pn_poisson (sample_Pn.R:11-248)
-    with incremental rank-1 Mhat maintenance. Returns (P, Mhat, acc_P).
+    with incremental rank-1 Mhat maintenance. Returns (P, Mhat, acc_P, n_nan)
+    where n_nan counts MH acceptance ratios that overflowed to NaN and were
+    clamped to 0 (the analog of the reference's logged NA-overflow fallback,
+    sample_params.R:136-162 — here surfaced as a metrics column).
     """
     E, A = params["E"], params["A"]
     sigmasq = params.get("sigmasq")
@@ -284,7 +287,7 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
                            minval=jnp.float32(1.2e-38))
 
     def body(n, carry):
-        P, Mhat, acc_P = carry
+        P, Mhat, acc_P, n_nan = carry
         u_col = jax.lax.dynamic_index_in_dim(U, n, axis=1, keepdims=False)
         A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
         E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)  # (G,)
@@ -370,8 +373,10 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
                     - (-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new)),
                     axis=1,
                 )
-            ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
-            ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
+            ratio_raw = jnp.minimum(jnp.exp(log_ratio), 1.0)
+            nan_mask = jnp.isnan(ratio_raw)
+            n_nan = n_nan + jnp.sum(nan_mask.astype(jnp.float32))
+            ratio = jnp.where(nan_mask, 0.0, ratio_raw)
             u = u_col[2]
             if accept_all is True:
                 take = jnp.ones((K,), bool)
@@ -390,10 +395,11 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
 
         Mhat = Mhat + A_n * jnp.outer(new_col - P_n, E_n)
         P = jax.lax.dynamic_update_index_in_dim(P, new_col, n, axis=1)
-        return (P, Mhat, acc_P)
+        return (P, Mhat, acc_P, n_nan)
 
-    P, Mhat, acc_P = jax.lax.fori_loop(0, N, body, (params["P"], Mhat, acc_P))
-    return P, Mhat, acc_P
+    P, Mhat, acc_P, n_nan = jax.lax.fori_loop(
+        0, N, body, (params["P"], Mhat, acc_P, jnp.float32(0.0)))
+    return P, Mhat, acc_P, n_nan
 
 
 # ---------------------------------------------------------------------------
@@ -414,7 +420,7 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
                            minval=jnp.float32(1.2e-38))
 
     def body(n, carry):
-        E, Mhat, acc_E = carry
+        E, Mhat, acc_E, n_nan = carry
         u_row = jax.lax.dynamic_index_in_dim(U, n, axis=1, keepdims=False)
         A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
         P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)  # (K,)
@@ -482,8 +488,10 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
                     - (-0.5 * r_new * r_new / vs_new - 0.5 * jnp.log(vs_new)),
                     axis=0,
                 )
-            ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
-            ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
+            ratio_raw = jnp.minimum(jnp.exp(log_ratio), 1.0)
+            nan_mask = jnp.isnan(ratio_raw)
+            n_nan = n_nan + jnp.sum(nan_mask.astype(jnp.float32))
+            ratio = jnp.where(nan_mask, 0.0, ratio_raw)
             u = u_row[2]
             if accept_all is True:
                 take = jnp.ones((G,), bool)
@@ -502,10 +510,11 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
 
         Mhat = Mhat + A_n * jnp.outer(P_n, new_row - E_n)
         E = jax.lax.dynamic_update_index_in_dim(E, new_row, n, axis=0)
-        return (E, Mhat, acc_E)
+        return (E, Mhat, acc_E, n_nan)
 
-    E, Mhat, acc_E = jax.lax.fori_loop(0, N, body, (params["E"], Mhat, acc_E))
-    return E, Mhat, acc_E
+    E, Mhat, acc_E, n_nan = jax.lax.fori_loop(
+        0, N, body, (params["E"], Mhat, acc_E, jnp.float32(0.0)))
+    return E, Mhat, acc_E, n_nan
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +582,7 @@ def sweep_A(spec: ModelSpec, data, params: dict, R, Mhat, temperature, key):
     per n collapse into one fused delta pass: only loglik(A_n=1)-loglik(A_n=0)
     enters the posterior odds. SBFI subtracts the BIC-penalty delta
     (G+K)·log(G)/2 (:118-126); BFI uses raw logliks (:127-130); both tempered.
+    Returns (A, Mhat, n_nan) where n_nan counts NaN-overflow fallbacks.
     """
     P, E = params["P"], params["E"]
     sigmasq = params.get("sigmasq")
@@ -583,7 +593,7 @@ def sweep_A(spec: ModelSpec, data, params: dict, R, Mhat, temperature, key):
     sbfi_pen = (G + K) * jnp.log(jnp.float32(G)) / 2.0
 
     def body(n, carry):
-        A, Mhat = carry
+        A, Mhat, n_nan = carry
         A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
         P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)
         E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)
@@ -602,14 +612,19 @@ def sweep_A(spec: ModelSpec, data, params: dict, R, Mhat, temperature, key):
             delta = delta - sbfi_pen
         log_odds = logit_p1 + temperature * delta
         p = jax.nn.sigmoid(log_odds)
-        p = jnp.where(jnp.isnan(p), 0.5, p)
+        # overflow fallback: p = 1/2, counted (the analog of the reference's
+        # logged NA ladder, sample_params.R:136-162)
+        is_nan = jnp.isnan(p)
+        n_nan = n_nan + is_nan.astype(jnp.float32)
+        p = jnp.where(is_nan, 0.5, p)
         a_new = jax.random.bernoulli(keys[n], p).astype(jnp.float32)
         Mhat = Mhat_off + a_new * contrib
         A = A.at[n].set(a_new)
-        return (A, Mhat)
+        return (A, Mhat, n_nan)
 
-    A, Mhat = jax.lax.fori_loop(0, N, body, (params["A"], Mhat))
-    return A, Mhat
+    A, Mhat, n_nan = jax.lax.fori_loop(
+        0, N, body, (params["A"], Mhat, jnp.float32(0.0)))
+    return A, Mhat, n_nan
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ longer dominates.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +37,18 @@ _EPS = 1e-30
 
 
 def _ndtri(p):
-    # erf_inv lowers in Mosaic and is more accurate than the polynomial
-    return 1.4142135623730951 * jax.lax.erf_inv(2.0 * p - 1.0)
+    """Inverse normal CDF, f32-robust over the full (0, 1) range.
+
+    erf_inv lowers in Mosaic and is f32-exact in the central region, but for
+    tail p the argument 2p-1 rounds to exactly ±1.0 in f32 (|p| ≲ 6e-8 from
+    either end) and erf_inv(±1) = ±inf poisons the truncated-normal draws —
+    prior-fallback draws have no MH rejection to mask the inf, so one bad
+    draw NaNs the whole chain. Acklam's tail branches work in sqrt(-2 log p)
+    space and stay finite/accurate there.
+    """
+    central = 1.4142135623730951 * jax.lax.erf_inv(2.0 * p - 1.0)
+    tails = ps.ndtri(p)
+    return jnp.where((p < 0.02425) | (p > 0.97575), tails, central)
 
 
 def _truncnorm_icdf(u, mu, sd):
@@ -62,19 +73,28 @@ def _tn_logpdf(x, mu, var):
             - ps.log_ndtr(mu / sd))
 
 
-def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
-                  M_ref, P_in, E_in, A_ref, Mh_in, aP_in, aE_in,
+def _sweep_kernel(prior_kind, exact_mh, accept_all, N, rank_method,
+                  M_ref, P_in, E_in, A_in, Mh_in, aP_in, aE_in,
                   UprP_ref, UprE_ref, UpP_ref, UaP_ref, UpE_ref, UaE_ref,
-                  hp0_p, hp1_p, hp0_e, hp1_e,
-                  P_out, E_out, Mh_out, aP_out, aE_out):
-    """One fused P-sweep + E-sweep. hp*_p/_e are (Mu, Sigmasq) for the
-    truncnormal prior or (Lambda, unused) for the exponential prior."""
+                  hp0_p, hp1_p, hp0_e, hp1_e, rank_in,
+                  P_out, E_out, Mh_out, aP_out, aE_out, A_out, rank_out,
+                  nan_out):
+    """One fused Gibbs iteration core: P-sweep + E-sweep, and (when
+    ``rank_method`` is set) the rank draw R + the inclusion sweep over A.
+    hp*_p/_e are (Mu, Sigmasq) for the truncnormal prior or (Lambda, unused)
+    for the exponential prior. ``rank_in`` packs, when rank learning:
+      row 0: temperature (broadcast), row 1: Gumbel noise for the R
+      categorical (N+1 entries), row 2: uniforms for the N Bernoulli A draws.
+    """
     M = M_ref[:]
     P_out[:] = P_in[:]
     E_out[:] = E_in[:]
     Mh_out[:] = Mh_in[:]
     aP_out[:] = aP_in[:]
     aE_out[:] = aE_in[:]
+    A_out[:] = A_in[:]
+    rank_out[:] = rank_in[:]
+    A_ref = A_out
 
     def mh_column(Mh, old, other, A_n, Mu_n, Sq_n, Lam_n, u_prop, u_acc,
                   u_prior, axis):
@@ -144,8 +164,10 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
                 + (-0.5 * r_o * r_o / vs_o - 0.5 * jnp.log(vs_o))
                 - (-0.5 * r_n * r_n / vs_n - 0.5 * jnp.log(vs_n)),
                 axis=axis, keepdims=True)
-        ratio = jnp.minimum(jnp.exp(log_ratio), 1.0)
-        ratio = jnp.where(jnp.isnan(ratio), 0.0, ratio)
+        ratio_raw = jnp.minimum(jnp.exp(log_ratio), 1.0)
+        nan_mask = jnp.isnan(ratio_raw)
+        n_nan = jnp.sum(nan_mask.astype(jnp.float32))
+        ratio = jnp.where(nan_mask, 0.0, ratio_raw)
         if accept_all:
             take = jnp.ones_like(ratio, bool)
             rec = jnp.ones_like(ratio)
@@ -155,11 +177,13 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
         mh_val = jnp.where(take, proposal, old)
         new_val = jnp.where(A_n == 0.0, prior_draw, mh_val)
         Mh_new = Mh + A_n * ((new_val - old) * other)
-        return new_val, Mh_new, rec
+        return new_val, Mh_new, rec, n_nan
 
     # Both sweeps are unrolled over the (static, small) N: Mosaic cannot
     # prove dynamic slices on the 128-lane axis, so a fori_loop with
     # pl.ds(n, 1) column indexing does not lower; static indices do.
+
+    na_total = jnp.zeros((1, 1), jnp.float32)
 
     # ------------------------- P sweep (columns) -------------------------
     for n in range(N):
@@ -168,13 +192,14 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
         P_n = P_out[:, n:n + 1]            # (K, 1)
         Mu_n = hp0_p[:, n:n + 1]
         Sq_n = hp1_p[:, n:n + 1]
-        new_col, Mh_new, rec = mh_column(
+        new_col, Mh_new, rec, n_nan = mh_column(
             Mh_out[:], P_n, E_n, A_n, Mu_n, Sq_n, Mu_n,
             UpP_ref[:, n:n + 1], UaP_ref[:, n:n + 1], UprP_ref[:, n:n + 1],
             axis=1)
         P_out[:, n:n + 1] = new_col
         Mh_out[:] = Mh_new
         aP_out[:, n:n + 1] = jnp.where(A_n == 0.0, aP_out[:, n:n + 1], rec)
+        na_total = na_total + n_nan
 
     # ------------------------- E sweep (rows) ----------------------------
     for n in range(N):
@@ -183,52 +208,136 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N,
         E_n = E_out[n:n + 1, :]
         Mu_n = hp0_e[n:n + 1, :]
         Sq_n = hp1_e[n:n + 1, :]
-        new_row, Mh_new, rec = mh_column(
+        new_row, Mh_new, rec, n_nan = mh_column(
             Mh_out[:], E_n, P_n, A_n, Mu_n, Sq_n, Mu_n,
             UpE_ref[n:n + 1, :], UaE_ref[n:n + 1, :], UprE_ref[n:n + 1, :],
             axis=0)
         E_out[n:n + 1, :] = new_row
         Mh_out[:] = Mh_new
         aE_out[n:n + 1, :] = jnp.where(A_n == 0.0, aE_out[n:n + 1, :], rec)
+        na_total = na_total + n_nan
+
+    if rank_method is None:
+        nan_out[0:1, 0:1] = na_total
+        return
+
+    # ---------------- rank draw R + inclusion sweep over A ----------------
+    # (sample_R + sample_An, sample_params.R:101-241; mirrors
+    # updates.sample_R / updates.sweep_A — those stay the portable reference)
+    # (Mosaic cannot store rank-0 scalars to VMEM; everything that lands in a
+    # ref is kept (1, 1)-shaped via keepdims.)
+    temp = rank_in[0, 0]
+    fN = jnp.float32(N)
+    sumA = jnp.sum(A_ref[:])
+    # tpu.iota is integer-only; make the f32 ladder via convert
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, N + 1), 1).astype(jnp.float32)
+    p1_r = jnp.clip(r / fN, 0.4 / fN, 1.0 - 0.4 / fN)
+    loglik_r = sumA * jnp.log(p1_r) + (fN - sumA) * jnp.log(1.0 - p1_r)
+    # Gumbel-max categorical draw (distributionally exact; one VPU max pass)
+    scores = temp * loglik_r + rank_in[1:2, :]
+    mx = jnp.max(scores, axis=1, keepdims=True)
+    # unique max w.p. 1 under continuous Gumbel noise; sum-select the index
+    R_new = jnp.sum(jnp.where(scores >= mx, r, 0.0), axis=1, keepdims=True)
+    rank_out[0:1, 0:1] = R_new
+
+    p1 = jnp.clip(R_new / fN, 0.4 / fN, 1.0 - 0.4 / fN)  # (1, 1)
+    logit_p1 = jnp.log(p1) - jnp.log1p(-p1)
+    if rank_method == "SBFI":
+        G = M.shape[1]
+        K = M.shape[0]
+        sbfi_pen = jnp.float32((G + K) * math.log(G) / 2.0)
+
+    for n in range(N):
+        A_n = A_out[n, 0]
+        P_n = P_out[:, n:n + 1]
+        E_n = E_out[n:n + 1, :]
+        contrib = P_n * E_n
+        Mh_off = Mh_out[:] - A_n * contrib
+        lam_off = jnp.maximum(Mh_off, _FLOOR)
+        lam_on = jnp.maximum(Mh_off + contrib, _FLOOR)
+        d = lam_on - lam_off
+        delta = jnp.sum(M * jnp.log1p(d / lam_off) - d)
+        if rank_method == "SBFI":
+            delta = delta - sbfi_pen
+        log_odds = logit_p1 + temp * delta  # (1, 1)
+        p = 1.0 / (1.0 + jnp.exp(-log_odds))
+        is_nan = jnp.isnan(p)
+        na_total = na_total + is_nan.astype(jnp.float32)
+        p = jnp.where(is_nan, 0.5, p)
+        a_new = (rank_in[2:3, n:n + 1] < p).astype(jnp.float32)  # (1, 1)
+        Mh_out[:] = Mh_off + a_new[0, 0] * contrib
+        A_out[n:n + 1, 0:1] = a_new
+
+    nan_out[0:1, 0:1] = na_total
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("prior_kind", "exact_mh", "accept_all"))
-def fused_pe_sweeps(data, P, E, A, Mhat, acc_P, acc_E,
-                    Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E,
-                    hp0_p, hp1_p, hp0_e, hp1_e,
-                    prior_kind: str, exact_mh: bool, accept_all: bool):
-    """Run both MH sweeps in one Pallas kernel.
+    static_argnames=("prior_kind", "exact_mh", "accept_all", "rank_method"))
+def fused_gibbs_sweeps(data, P, E, A, Mhat, acc_P, acc_E,
+                       Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E,
+                       hp0_p, hp1_p, hp0_e, hp1_e, rank_pack,
+                       prior_kind: str, exact_mh: bool, accept_all: bool,
+                       rank_method):
+    """Run the Gibbs iteration core — both MH sweeps, plus the rank draw R
+    and inclusion sweep A when ``rank_method`` is 'SBFI'/'BFI' — in ONE
+    Pallas kernel.
 
-    Args mirror updates.sweep_P/sweep_E: prior-fallback uniforms
-    (Upr_P/Upr_E, transformed to prior draws in-kernel), proposal/acceptance
-    uniforms (U*), and the prior parameter pair per side (Mu/Sigmasq for
-    truncnormal, Lambda/ones for exponential). All six uniform tensors may be
-    slices of ONE jax.random.uniform call (RNG launches, not FLOPs, dominate
-    a small-problem iteration). Returns (P, E, Mhat, acc_P, acc_E).
+    Args mirror updates.sweep_P/sweep_E (+ sample_R/sweep_A): prior-fallback
+    uniforms (Upr_P/Upr_E, transformed to prior draws in-kernel),
+    proposal/acceptance uniforms (U*), the prior parameter pair per side
+    (Mu/Sigmasq for truncnormal, Lambda/ones for exponential), and
+    ``rank_pack`` (3, N+1): row 0 [temperature, ...], row 1 Gumbel noise for
+    the R categorical, row 2 uniforms for the A Bernoulli draws (all-zeros
+    when not rank learning). All uniform tensors may be slices of ONE
+    jax.random.uniform call (RNG launches, not FLOPs, dominate a
+    small-problem iteration).
+
+    Returns (P, E, Mhat, acc_P, acc_E, A, R_float, nan_count).
     """
     K, N = P.shape
     G = E.shape[1]
-    kern = functools.partial(_sweep_kernel, prior_kind, exact_mh, accept_all, N)
+    kern = functools.partial(_sweep_kernel, prior_kind, exact_mh, accept_all,
+                             N, rank_method)
     out_shapes = [
         jax.ShapeDtypeStruct((K, N), jnp.float32),   # P
         jax.ShapeDtypeStruct((N, G), jnp.float32),   # E
         jax.ShapeDtypeStruct((K, G), jnp.float32),   # Mhat
         jax.ShapeDtypeStruct((K, N), jnp.float32),   # acc_P
         jax.ShapeDtypeStruct((N, G), jnp.float32),   # acc_E
+        jax.ShapeDtypeStruct((N, 1), jnp.float32),   # A
+        jax.ShapeDtypeStruct((3, N + 1), jnp.float32),  # rank pack (R at [0,0])
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),   # NaN-clamp event count
     ]
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_in = 17
+    n_in = 18
     interpret = jax.devices()[0].platform != "tpu"
-    return pl.pallas_call(
+    P_o, E_o, Mh_o, aP_o, aE_o, A_o, rank_o, nan_o = pl.pallas_call(
         kern,
         out_shape=out_shapes,
         in_specs=[vmem] * n_in,
-        out_specs=[vmem] * 5,
+        out_specs=[vmem] * 8,
         input_output_aliases={1: 0, 2: 1, 4: 2, 5: 3, 6: 4},
         interpret=interpret,
     )(jnp.asarray(data, jnp.float32), P, E,
       jnp.asarray(A, jnp.float32).reshape(N, 1), Mhat, acc_P, acc_E,
       Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E,
-      hp0_p, hp1_p, hp0_e, hp1_e)
+      hp0_p, hp1_p, hp0_e, hp1_e, rank_pack)
+    return (P_o, E_o, Mh_o, aP_o, aE_o, A_o.reshape(N), rank_o[0, 0],
+            nan_o[0, 0])
+
+
+def fused_pe_sweeps(data, P, E, A, Mhat, acc_P, acc_E,
+                    Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E,
+                    hp0_p, hp1_p, hp0_e, hp1_e,
+                    prior_kind: str, exact_mh: bool, accept_all: bool):
+    """Fixed-rank form: both MH sweeps only; returns (P, E, Mhat, acc_P, acc_E)."""
+    N = P.shape[1]
+    rank_pack = jnp.zeros((3, N + 1), jnp.float32)
+    out = fused_gibbs_sweeps(
+        data, P, E, A, Mhat, acc_P, acc_E,
+        Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E,
+        hp0_p, hp1_p, hp0_e, hp1_e, rank_pack,
+        prior_kind=prior_kind, exact_mh=exact_mh, accept_all=accept_all,
+        rank_method=None)
+    return out[:5]

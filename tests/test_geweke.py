@@ -71,12 +71,17 @@ def redraw_data(spec, key, params):
     return Mh + noise, params
 
 
-def stats_of(params):
+def stats_of(params, learning=False):
     P, E = params["P"], params["E"]
-    return jnp.stack([
+    s = [
         jnp.mean(P), jnp.mean(P * P), jnp.mean(E), jnp.mean(E * E),
         jnp.mean(P) * jnp.mean(E),
-    ])
+    ]
+    if learning:
+        # A and R are part of the joint only when rank learning (otherwise
+        # they are the constants 1 and N, making the z-score 0/0)
+        s += [jnp.mean(params["A"]), params["R"].astype(jnp.float32)]
+    return jnp.stack(s)
 
 
 def run_successive(spec, hp, seed=0):
@@ -100,7 +105,7 @@ def run_successive(spec, hp, seed=0):
                                      accept_all=False)
             data, new_params = redraw_data(spec, kk, st["params"])
             st = {**st, "params": new_params}
-            return (st, data), stats_of(st["params"])
+            return (st, data), stats_of(st["params"], spec.learning_rank)
 
         keys = jax.random.split(kloop, T)
         (_, _), s = jax.lax.scan(step, (state, d0), keys)
@@ -115,7 +120,7 @@ def run_marginal(spec, hp, n=4096, seed=1):
 
     def one(key):
         st = gibbs.init_state(spec, hp, jnp.zeros((K, G)), key)
-        return stats_of(st["params"])
+        return stats_of(st["params"], spec.learning_rank)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
     return np.asarray(jax.jit(jax.vmap(one))(keys))
@@ -131,22 +136,65 @@ FAMILIES = [
 ]
 
 
+def _geweke_z(spec, hp):
+    succ = run_successive(spec, hp)
+    marg = run_marginal(spec, hp)
+    m_s = succ.mean(axis=0)
+    se_s = succ.std(axis=0, ddof=1) / np.sqrt(succ.shape[0])
+    m_m = marg.mean(axis=0)
+    se_m = marg.std(axis=0, ddof=1) / np.sqrt(marg.shape[0])
+    return (m_s - m_m) / np.sqrt(se_s**2 + se_m**2), m_s, m_m
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("likelihood,prior,mh", FAMILIES)
 def test_geweke_joint(likelihood, prior, mh):
     spec = ModelSpec(K=K, N=N, G=G, likelihood=likelihood, prior=prior, MH=mh)
     hp = fixed_hp(spec)
-    succ = run_successive(spec, hp)
-    marg = run_marginal(spec, hp)
-
-    m_s = succ.mean(axis=0)
-    se_s = succ.std(axis=0, ddof=1) / np.sqrt(succ.shape[0])
-    m_m = marg.mean(axis=0)
-    se_m = marg.std(axis=0, ddof=1) / np.sqrt(marg.shape[0])
-    z = (m_s - m_m) / np.sqrt(se_s**2 + se_m**2)
+    z, m_s, m_m = _geweke_z(spec, hp)
     # within-chain correlation inflates the naive SE of chain means only
     # mildly (each chain mean is ~iid); 6 sigma leaves essentially zero
     # false-positive rate while catching any systematic conditional bug.
     assert np.all(np.abs(z) < 6.0), (
         f"Geweke mismatch for {likelihood}/{prior}/MH={mh}: z={z}, "
         f"succ={m_s}, marg={m_m}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fused", [False, True])
+def test_geweke_joint_rank_learning_bfi(fused):
+    """Joint-distribution invariance of the rank-learning transitions
+    (sample_R + the A sweep, sample_params.R:101-241), for both the XLA
+    path and the fused Pallas kernel (which samples R by Gumbel-max and the
+    A Bernoullis in-kernel).
+
+    BFI only: the BFI A-update IS the exact Bernoulli full conditional
+    (sample_params.R:127-130), so the joint test applies. SBFI deliberately
+    penalizes the odds with BIC (:118-126) — a modified target, not the
+    posterior of the generative model — so joint invariance does not hold
+    for it by design (test_sbfi_penalty_biases_rank_down covers it).
+    """
+    spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson", prior="exponential",
+                     MH=True, learning_rank=True, rank_method="BFI",
+                     fused_sweeps=fused)
+    hp = fixed_hp(spec)
+    z, m_s, m_m = _geweke_z(spec, hp)
+    assert np.all(np.abs(z) < 6.0), (
+        f"Geweke mismatch for rank learning (BFI, fused={fused}): "
+        f"z={z}, succ={m_s}, marg={m_m}")
+
+
+@pytest.mark.slow
+def test_sbfi_penalty_biases_rank_down():
+    """SBFI's BIC penalty must push the stationary mean of A *below* the BFI
+    (exact-conditional) stationary mean in the successive-conditional chain —
+    the direction-of-effect check for the penalty term (sample_params.R:118-126).
+    """
+    means = {}
+    for rm in ("BFI", "SBFI"):
+        spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson",
+                         prior="exponential", MH=True, learning_rank=True,
+                         rank_method=rm)
+        succ = run_successive(spec, fixed_hp(spec))
+        means[rm] = succ.mean(axis=0)[5]  # mean(A) statistic
+    assert means["SBFI"] < means["BFI"], means
