@@ -98,17 +98,22 @@ def init_state(spec: ModelSpec, hp: dict, data, key, init_params=None,
 
 
 def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
-               accept_all, record_full: bool = False):
+               accept_all, record: str = "basic"):
     """One full Gibbs sweep; returns (new_state, sample_out).
 
     Update order matches run_gibbs_sampler + sample_params_
     (bayesNMF_sampler.R:275-285, sample_params.R:51-89):
     prior params → P sweep → E sweep → [R, A sweep] → [Z] → [sigmasq].
 
-    ``record_full`` adds the per-iteration prior params, sigmasq, and MH
-    acceptance matrices to sample_out, matching the reference's record_sample
-    (bayesNMF_sampler.R:651-672) which deep-copies every parameter each
-    iteration.
+    ``record`` controls what the per-iteration sample_out carries:
+      - 'metrics': the metrics row only (throughput mode — at huge G the
+        stacked E history dominates HBM, and XLA dead-code-eliminates the
+        unsampled tensors entirely);
+      - 'basic': P/E/A + metrics (default);
+      - 'full': additionally prior params, sigmasq, and MH acceptance
+        matrices, matching the reference's record_sample
+        (bayesNMF_sampler.R:651-672) which deep-copies every parameter each
+        iteration.
     """
     key = state["key"]
     # split only the keys this spec consumes (threefry splits are ~12us for
@@ -217,11 +222,10 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
 
     metrics = _metrics_row(spec, data, params, prior, Mh, new_iter, temperature,
                            acc_P, acc_E, na_events)
-    sample_out = {
-        "P": params["P"], "E": params["E"], "A": params["A"],
-        "metrics": metrics,
-    }
-    if record_full:
+    sample_out = {"metrics": metrics}
+    if record != "metrics":
+        sample_out |= {"P": params["P"], "E": params["E"], "A": params["A"]}
+    if record == "full":
         # full posterior histories (record_sample, bayesNMF_sampler.R:651-672)
         sample_out["prior"] = prior
         if spec.needs_sigmasq:
@@ -275,7 +279,7 @@ def snapshot_sample(spec: ModelSpec, data, state: dict, temperature,
         state.get("acc_P"), state.get("acc_E"))
     out = {"P": params["P"], "E": params["E"], "A": params["A"],
            "metrics": metrics}
-    if record_full:
+    if record_full:  # noqa: SIM108 — mirrors gibbs_step's 'full' mode
         out["prior"] = state["prior"]
         if spec.needs_sigmasq:
             out["sigmasq"] = params["sigmasq"]
@@ -290,10 +294,12 @@ def snapshot_sample(spec: ModelSpec, data, state: dict, temperature,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("spec", "accept_all", "record_full"),
+@partial(jax.jit, static_argnames=("spec", "accept_all", "record_full",
+                                   "record"),
          donate_argnames=("state",))
 def run_chunk(spec: ModelSpec, data, hp: dict, state: dict, temps,
-              accept_all: bool, record_full: bool = False):
+              accept_all: bool, record_full: bool = False,
+              record: str | None = None):
     """Run ``len(temps)`` Gibbs iterations on device in one lax.scan.
 
     ``accept_all`` is static: the warmup (accept-all MH proposals,
@@ -301,12 +307,15 @@ def run_chunk(spec: ModelSpec, data, hp: dict, state: dict, temps,
     specialized programs with zero runtime dispatch.
 
     Returns (state, samples) where samples stacks per-iteration P/E/A and the
-    metrics rows along a leading axis of length len(temps); ``record_full``
-    adds prior-param/sigmasq/acceptance histories (record_sample parity).
+    metrics rows along a leading axis of length len(temps). ``record``
+    ('metrics'/'basic'/'full', see gibbs_step) controls the stack contents;
+    ``record_full=True`` is the legacy spelling of record='full'.
     """
+    if record is None:
+        record = "full" if record_full else "basic"
 
     def body(st, temp):
-        return gibbs_step(spec, data, hp, st, temp, accept_all, record_full)
+        return gibbs_step(spec, data, hp, st, temp, accept_all, record)
 
     return jax.lax.scan(body, state, temps)
 

@@ -42,6 +42,17 @@ def a_mode(A_hist: np.ndarray):
 
 
 @jax.jit
+def _masked_renorm_mean_P(P_hist, mask):
+    """P-only variant for runs that discarded the E history (store_E=False)."""
+    w = mask.astype(jnp.float32)
+    w = w / jnp.maximum(jnp.sum(w), 1.0)
+    s = jnp.sum(P_hist, axis=1, keepdims=True)
+    safe = jnp.where(s > 0, s, 1.0)
+    P_rn = P_hist / safe
+    return jnp.einsum("s,skn->kn", w, P_rn), P_rn
+
+
+@jax.jit
 def _masked_renorm_mean(P_hist, E_hist, mask):
     """Mask-weighted mean of per-sample renormalized (P, E).
 
@@ -95,7 +106,10 @@ def compute_map(P_hist, E_hist, A_hist, final: bool, credible_interval=0.95,
     up; (iv) elementwise mean → MAP P/E; CIs = elementwise quantiles.
 
     Args:
-      P_hist: (S, K, N); E_hist: (S, N, G); A_hist: (S, N) — device or host.
+      P_hist: (S, K, N); E_hist: (S, N, G) or None if the E history was not
+        retained (ChainEnsemble store_E=False) — the result then carries no
+        'E' key (and no E credible intervals) rather than a fabricated one;
+      A_hist: (S, N) — device or host.
       final: subset to included signatures (keep_sigs) if True.
     Returns dict with P, E, A, keep_sigs, idx_mask, A_counts, and optionally
     credible_intervals {P: {lower, upper}, E: {lower, upper}}.
@@ -112,26 +126,33 @@ def compute_map(P_hist, E_hist, A_hist, final: bool, credible_interval=0.95,
 
     mask_d = jnp.asarray(mask)
     P_hist = jnp.asarray(P_hist)
-    E_hist = jnp.asarray(E_hist)
-    P_map, E_map, P_rn, E_rn = _masked_renorm_mean(P_hist, E_hist, mask_d)
+    if E_hist is None:
+        P_map, P_rn = _masked_renorm_mean_P(P_hist, mask_d)
+        E_map = E_rn = None
+    else:
+        E_hist = jnp.asarray(E_hist)
+        P_map, E_map, P_rn, E_rn = _masked_renorm_mean(P_hist, E_hist, mask_d)
 
     out = {
         "P": P_map[:, keep_sigs],
-        "E": E_map[keep_sigs, :],
         "A": mode_row[keep_sigs],
         "A_full": mode_row,
         "keep_sigs": keep_sigs,
         "idx_mask": mask,
         "A_counts": top,
     }
+    if E_map is not None:
+        out["E"] = E_map[keep_sigs, :]
     if want_ci:
         lo = float((1.0 - credible_interval) / 2.0)
         P_lo, P_hi = _masked_quantiles(P_rn, mask_d, lo)
-        E_lo, E_hi = _masked_quantiles(E_rn, mask_d, lo)
         out["credible_intervals"] = {
             "P": {"lower": P_lo[:, keep_sigs], "upper": P_hi[:, keep_sigs]},
-            "E": {"lower": E_lo[keep_sigs, :], "upper": E_hi[keep_sigs, :]},
         }
+        if E_rn is not None:
+            E_lo, E_hi = _masked_quantiles(E_rn, mask_d, lo)
+            out["credible_intervals"]["E"] = {
+                "lower": E_lo[keep_sigs, :], "upper": E_hi[keep_sigs, :]}
     return out
 
 

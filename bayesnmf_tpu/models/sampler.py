@@ -71,6 +71,8 @@ class GibbsSampler:
         periodic_save: bool = True,
         save_all_samples: bool = True,
         record_history: str = "basic",
+        mesh=None,
+        fused_sweeps: bool = False,
         seed: int = 0,
     ):
         if record_history not in ("basic", "full"):
@@ -104,6 +106,7 @@ class GibbsSampler:
             K=data.shape[0], N=N, G=data.shape[1],
             likelihood=likelihood, prior=prior, MH=MH,
             learning_rank=learning_rank, rank_method=rank_method,
+            fused_sweeps=fused_sweeps,
         )
         self.cc = convergence_control or ConvergenceControl()
         self.run_cfg = RunConfig(
@@ -128,7 +131,27 @@ class GibbsSampler:
             sched = np.ones(n_iters, np.float32)
         self.temp_sched = np.concatenate([[np.float32(0)], sched])  # [iter]
 
-        self.data = jnp.asarray(data)
+        # Optional G-sharding of a single large fit over a device mesh: data
+        # M (K,G), exposures E (N,G), Zsum_k and sigmasq live distributed over
+        # the mesh's 'g' axis (parallel/mesh.py layout); GSPMD turns the
+        # sweeps' G-contractions into psums over ICI. This is the TPU answer
+        # to the reference's full-matrix residency (get_Mhat/sample_Zkg,
+        # utils.R:29-49, sample_params.R:253-265) at PCAWG/100k-genome scale.
+        self.mesh = mesh
+        if mesh is not None:
+            if self.spec.fused_sweeps:
+                raise ValueError(
+                    "fused_sweeps is a single-chip VMEM-resident kernel; "
+                    "use the XLA sweep path with mesh sharding")
+            from ..parallel import mesh as Mm
+
+            self._state_sharding = Mm.state_shardings(
+                self.spec, mesh, chains=False)
+            self.data = jax.device_put(
+                jnp.asarray(data), Mm.data_sharding(mesh))
+        else:
+            self._state_sharding = None
+            self.data = jnp.asarray(data)
         self.dims = {"K": self.spec.K, "N": N, "G": self.spec.G}
         self.hyperprior_params = dict(
             default_hyperprior_params(self.spec, float(data.mean()))
@@ -158,6 +181,8 @@ class GibbsSampler:
             self.spec, self.hyperprior_params, self.data, key,
             init_params=init_params, init_prior_params=init_prior_params,
         )
+        if self._state_sharding is not None:
+            self.state = jax.device_put(self.state, self._state_sharding)
         self.tracker = ConvergenceTracker(self.cc)
         self.iter = 1
         self.time = {}
@@ -504,10 +529,10 @@ class GibbsSampler:
         return path
 
     @classmethod
-    def load(cls, path: str):
+    def load(cls, path: str, mesh=None):
         from ..utils.checkpoint import load_sampler
 
-        return load_sampler(cls, path)
+        return load_sampler(cls, path, mesh=mesh)
 
     # ------------------------------------------------------------------
     # postprocessing entry points
@@ -545,7 +570,7 @@ def fit(
     rank_method: str = "SBFI",
     MH: Optional[bool] = None,
     convergence_control: Optional[ConvergenceControl] = None,
-    output_dir: Optional[str] = None,
+    output_dir: Optional[str] = "default",
     **kw,
 ):
     """Fit Bayesian NMF; the TPU-native ``bayesNMF()``.
@@ -553,7 +578,13 @@ def fit(
     With a scalar rank or rank_method SBFI/BFI this runs one sampler; with
     rank_method='BIC' it fits one sampler per candidate rank and returns
     {results, best_rank, sampler} picking the min final BIC (bayesNMF.R:66-126).
+
+    ``output_dir`` defaults to ``nmf_<likelihood>_<prior>`` like the reference
+    (bayesNMF.R:33); pass ``None`` to disable logging/checkpointing entirely
+    (a capability the R API lacks).
     """
+    if output_dir == "default":
+        output_dir = f"nmf_{likelihood}_{prior}"
     learning = not isinstance(rank, (int, np.integer)) and len(list(rank)) > 1
     if learning and rank_method == "BIC":
         results = []

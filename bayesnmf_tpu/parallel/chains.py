@@ -28,38 +28,53 @@ def init_chain_states(spec: ModelSpec, hp: dict, data, key, n_chains: int,
     )(keys)
 
 
-@partial(jax.jit, static_argnames=("spec",), donate_argnames=("states",))
+@partial(jax.jit, static_argnames=("spec", "record", "store_E"),
+         donate_argnames=("states",))
 def run_chunk_chains(spec: ModelSpec, data, hp: dict, states: dict, temps,
-                     accept_all):
+                     accept_all, record: str = "basic", store_E: bool = True):
     """Run one chunk for every chain.
 
     ``accept_all`` is a per-chain bool vector (chains converge independently,
     flipping from the warmup accept-all regime to true MH at different
     times); data and the temperature ladder are shared.
+
+    ``store_E=False`` drops the stacked E history from the outputs *inside*
+    the jitted program, so XLA dead-code-eliminates the (chains, chunk, N, G)
+    stack — at 100k genomes that stack dominates HBM. ``record='metrics'``
+    drops P/A too (pure throughput mode).
     """
 
     def one_chain(state, acc):
         def body(st, temp):
-            return gibbs.gibbs_step(spec, data, hp, st, temp, acc)
+            return gibbs.gibbs_step(spec, data, hp, st, temp, acc, record)
 
         return jax.lax.scan(body, state, temps)
 
-    return jax.vmap(one_chain)(states, accept_all)
+    states, samples = jax.vmap(one_chain)(states, accept_all)
+    if not store_E and "E" in samples:
+        del samples["E"]
+    return states, samples
 
 
-def make_sharded_chain_runner(spec: ModelSpec, mesh, n_chains: int):
+def make_sharded_chain_runner(spec: ModelSpec, mesh, n_chains: int,
+                              record: str = "basic", store_E: bool = True):
     """Compile a chunk runner whose chain states + G axes are mesh-sharded.
 
     Returns (init_fn, run_fn):
       init_fn(hp, data, key) -> sharded states
       run_fn(data, hp, states, temps, accept_all) -> (states, samples)
     GSPMD inserts the psums for the G-reductions inside the sweeps.
+    ``record``/``store_E`` prune the sample stack like run_chunk_chains.
     """
     from . import mesh as M
 
     st_sh = M.state_shardings(spec, mesh, chains=True)
     data_sh = M.data_sharding(mesh)
     out_sh = M.sample_out_shardings(spec, mesh, chains=True)
+    if record == "metrics":
+        out_sh = {"metrics": out_sh["metrics"]}
+    elif not store_E:
+        out_sh = {k: v for k, v in out_sh.items() if k != "E"}
 
     def _init(hp, data, key):
         states = init_chain_states(spec, hp, data, key, n_chains)
@@ -67,7 +82,7 @@ def make_sharded_chain_runner(spec: ModelSpec, mesh, n_chains: int):
 
     run = jax.jit(
         lambda data, hp, states, temps, acc: run_chunk_chains(
-            spec, data, hp, states, temps, acc),
+            spec, data, hp, states, temps, acc, record, store_E),
         in_shardings=(data_sh, None, st_sh, None, None),
         out_shardings=(st_sh, out_sh),
         donate_argnums=(2,),

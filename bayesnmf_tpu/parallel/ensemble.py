@@ -6,10 +6,17 @@ advanced.qmd:56). Chains are vmapped into a single jitted chunk program
 keeps reference semantics individually: warmup with accept-all MH until its
 own convergence, then ``post_warmup`` true-MH inference samples; per-chain
 convergence is tracked host-side from the vectorized metric outputs.
+
+First-class driver features (same surface as models/sampler.GibbsSampler):
+logging to ``output_dir/log.txt``, periodic checkpoint + bit-exact resume
+(utils/checkpoint.py), and postprocessing entry points — per-chain COSMIC
+assignment via the same cosine-weighted Hungarian voting the single-chain
+path uses (postprocessing.R:175-341) plus pooled cross-chain summaries.
 """
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -26,7 +33,55 @@ from ..config import (
 from ..models import gibbs
 from ..models.convergence import ConvergenceTracker
 from ..models.map_estimate import compute_map
+from ..utils.logging import RunLogger
 from . import chains as chains_mod
+
+
+class _ChainView:
+    """Single-chain adapter over an ensemble: quacks enough like a
+    GibbsSampler (spec/MAP/_gather_window/reference_comparison) for the
+    shared postprocessing machinery to run unchanged per chain."""
+
+    def __init__(self, ensemble: "ChainEnsemble", chain: int):
+        self._ens = ensemble
+        self.chain = chain
+        self.spec = ensemble.spec
+        self.row_names = getattr(ensemble, "row_names", None)
+        self.MAP = ensemble.MAP_per_chain[chain]
+
+    @property
+    def reference_comparison(self):
+        """Memoization lives on the ensemble so it survives view churn."""
+        return self._ens._reference_comparisons.setdefault(self.chain, {})
+
+    @reference_comparison.setter
+    def reference_comparison(self, value):
+        self._ens._reference_comparisons[self.chain] = value
+
+    def get_MAP(self, **kw):
+        if self.MAP is None:
+            raise ValueError(
+                "per-chain MAP not computed yet; call ensemble.run() first")
+        return self.MAP
+
+    def _gather_window(self, end_iter: int, n_samples: int):
+        lo = end_iter - n_samples + 1
+        c = self.chain
+        Ps, Es, As = [], [], []
+        for ch in self._ens._window:
+            n = ch["P"].shape[1]
+            s, e = ch["start_iter"], ch["start_iter"] + n - 1
+            if e < lo or s > end_iter:
+                continue
+            i0, i1 = max(lo - s, 0), min(end_iter - s, n - 1) + 1
+            Ps.append(jnp.asarray(ch["P"][c, i0:i1]))
+            As.append(np.asarray(ch["A"][c, i0:i1]))
+            if "E" in ch:
+                Es.append(jnp.asarray(ch["E"][c, i0:i1]))
+        if not Ps:
+            raise ValueError("no samples in requested window")
+        E = jnp.concatenate(Es) if Es else None
+        return jnp.concatenate(Ps), E, np.concatenate(As)
 
 
 class ChainEnsemble:
@@ -47,7 +102,17 @@ class ChainEnsemble:
         mesh=None,
         seed: int = 0,
         store_E: bool = True,
+        output_dir: Optional[str] = None,
+        overwrite: bool = False,
+        verbosity: int = 1,
+        periodic_save: bool = True,
     ):
+        self.row_names = None
+        self.col_names = None
+        if hasattr(data, "index") and hasattr(data, "columns"):
+            self.row_names = [str(r) for r in data.index]
+            self.col_names = [str(c) for c in data.columns]
+            data = data.to_numpy()
         data = np.asarray(data, np.float32)
         if isinstance(rank, (int, np.integer)):
             ranks = [int(rank)]
@@ -69,6 +134,16 @@ class ChainEnsemble:
         self.post_warmup = (post_warmup if post_warmup is not None
                             else 2 * self.cc.MAP_over) if MH else 0
         self.store_E = store_E
+        self.seed = seed
+        self.periodic_save = periodic_save
+
+        from ..models.sampler import _resolve_output_dir
+
+        self.output_dir = _resolve_output_dir(output_dir, overwrite)
+        self.logger = RunLogger(self.output_dir, verbosity)
+        self.logger.log(
+            f"Initialized ensemble: {n_chains} chains, likelihood = "
+            f"{likelihood}, prior = {prior}, MH = {MH}", 1)
 
         n_iters = self.cc.maxiters + self.post_warmup
         rng = np.random.default_rng(seed)
@@ -81,20 +156,9 @@ class ChainEnsemble:
 
         self.hp = default_hyperprior_params(self.spec, float(data.mean()))
         self.mesh = mesh
-        if mesh is not None:
-            from . import mesh as M
-
-            self._init_fn, self._run_fn = chains_mod.make_sharded_chain_runner(
-                self.spec, mesh, n_chains)
-            self.data = jax.device_put(jnp.asarray(data), M.data_sharding(mesh))
-            self.states = self._init_fn(self.hp, self.data,
-                                        jax.random.PRNGKey(seed))
-        else:
-            self._run_fn = None
-            self.data = jnp.asarray(data)
-            self.states = chains_mod.init_chain_states(
-                self.spec, self.hp, self.data, jax.random.PRNGKey(seed),
-                n_chains)
+        self._data_np = data
+        self._attach_mesh(mesh)
+        self.states = self._init_states(jax.random.PRNGKey(seed))
 
         self.trackers = [ConvergenceTracker(self.cc) for _ in range(n_chains)]
         self.iter = 1
@@ -103,7 +167,32 @@ class ChainEnsemble:
         self._window = []      # recent chunks (device)
         self._metric_rows = []  # list of (C, chunk, n_metrics) host arrays
         self.MAP_per_chain: list = [None] * n_chains
+        self._reference_comparisons: dict = {}
         self.time = {}
+
+    # ------------------------------------------------------------------
+    # device plumbing (mesh-aware; re-entrant for checkpoint resume)
+    # ------------------------------------------------------------------
+
+    def _attach_mesh(self, mesh):
+        self.mesh = mesh
+        if mesh is not None:
+            from . import mesh as M
+
+            self._init_fn, self._run_fn = chains_mod.make_sharded_chain_runner(
+                self.spec, mesh, self.n_chains, store_E=self.store_E)
+            self.data = jax.device_put(
+                jnp.asarray(self._data_np), M.data_sharding(mesh))
+        else:
+            self._init_fn = None
+            self._run_fn = None
+            self.data = jnp.asarray(self._data_np)
+
+    def _init_states(self, key):
+        if self._init_fn is not None:
+            return self._init_fn(self.hp, self.data, key)
+        return chains_mod.init_chain_states(
+            self.spec, self.hp, self.data, key, self.n_chains)
 
     # ------------------------------------------------------------------
 
@@ -120,7 +209,8 @@ class ChainEnsemble:
                 self.data, self.hp, self.states, temps, acc)
         else:
             self.states, samples = chains_mod.run_chunk_chains(
-                self.spec, self.data, self.hp, self.states, temps, acc)
+                self.spec, self.data, self.hp, self.states, temps, acc,
+                store_E=self.store_E)
         chunk = {"P": samples["P"], "A": samples["A"],
                  "start_iter": self.iter + 1}
         if self.store_E:
@@ -153,28 +243,43 @@ class ChainEnsemble:
             t.update(float(vals[c]), self.iter, temps_all_one)
             if t.converged and not was:
                 self._end_iter[c] = self.iter + self.post_warmup
+                self.logger.log(
+                    f"chain {c} converged at {self.iter} due to {t.why}", 1)
+        n_conv = sum(t.converged for t in self.trackers)
+        self.logger.log(
+            f"iter = {self.iter}: {n_conv}/{self.n_chains} chains "
+            "converged", 1)
+        if self.periodic_save and self.output_dir:
+            self.save_object()
 
     def run(self):
-        """Run all chains to completion; returns self."""
+        """Run all chains to completion (resumable: continues from the
+        current iteration after ``ChainEnsemble.load``); returns self."""
         t0 = time.time()
         cc = self.cc
-        while True:
-            boundary = ((self.iter // cc.MAP_every) + 1) * cc.MAP_every
-            hard_stop = cc.maxiters + self.post_warmup
-            boundary = min(boundary, hard_stop)
-            self._run_chunk(boundary - self.iter)
-            if (self.iter % cc.MAP_every == 0
-                    and self.iter >= max(cc.MAP_over, cc.MAP_every)) \
-                    or self.iter >= hard_stop:
-                self._check_convergence()
-            all_done = all(
+        self.logger.log("Starting ensemble Gibbs sampler", 1)
+        hard_stop = cc.maxiters + self.post_warmup
+
+        def all_done():
+            return all(
                 t.converged and (self._end_iter[c] <= self.iter)
                 for c, t in enumerate(self.trackers))
-            if all_done or self.iter >= hard_stop:
-                break
-        self.time["total"] = (time.time() - t0) / 60.0
+
+        while self.iter < hard_stop and not all_done():
+            boundary = ((self.iter // cc.MAP_every) + 1) * cc.MAP_every
+            boundary = min(boundary, hard_stop)
+            self._run_chunk(boundary - self.iter)
+            if self.iter % cc.MAP_every == 0 or self.iter >= hard_stop:
+                self._check_convergence()
+        self.time["total"] = self.time.get("total", 0.0) + (
+            time.time() - t0) / 60.0
         self.time["iters"] = self.iter
         self._compute_maps()
+        self.logger.log(
+            f"Ensemble done: {self.iter} iterations, "
+            f"{self.throughput():.1f} chain-it/s", 1)
+        if self.output_dir:
+            self.save_object()
         return self
 
     def _compute_maps(self):
@@ -186,12 +291,97 @@ class ChainEnsemble:
         for c in range(self.n_chains):
             P_h = Ps[c, -S:]
             A_h = As[c, -S:]
-            if Es is not None:
-                E_h = Es[c, -S:]
-            else:
-                E_h = jnp.zeros((S, self.spec.N, 1), jnp.float32)
-            self.MAP_per_chain[c] = compute_map(
-                P_h, E_h, A_h, final=True, want_ci=False)
+            # store_E=False runs carry no exposure history: the MAP omits E
+            # (signature estimates + assignment remain valid) instead of
+            # fabricating zeros.
+            E_h = Es[c, -S:] if Es is not None else None
+            res = compute_map(P_h, E_h, A_h, final=True, want_ci=False)
+            res["idx"] = np.arange(self.iter - S + 1, self.iter + 1)[
+                res["idx_mask"]]
+            res["sig_idx"] = np.arange(len(res["keep_sigs"]))
+            self.MAP_per_chain[c] = res
+
+    # ------------------------------------------------------------------
+    # persistence (checkpoint + bit-exact resume)
+    # ------------------------------------------------------------------
+
+    def save_object(self, path: Optional[str] = None):
+        from ..utils.checkpoint import save_ensemble
+
+        path = path or (os.path.join(self.output_dir, "ensemble.ckpt")
+                        if self.output_dir else "ensemble.ckpt")
+        save_ensemble(self, path)
+        return path
+
+    @classmethod
+    def load(cls, path: str, mesh=None):
+        from ..utils.checkpoint import load_ensemble
+
+        return load_ensemble(cls, path, mesh=mesh)
+
+    # ------------------------------------------------------------------
+    # postprocessing entry points
+    # ------------------------------------------------------------------
+
+    def chain(self, c: int) -> _ChainView:
+        """Single-chain view for the shared postprocessing machinery."""
+        if self.MAP_per_chain[c] is None:
+            self._compute_maps()
+        return _ChainView(self, c)
+
+    def assign_signatures(self, reference_P="cosmic", credible_interval=0.95):
+        """Per-chain posterior-ensemble reference assignment
+        (assign_signatures_ensemble_, postprocessing.R:175-341, run per
+        chain). Returns {chain: {'assignments', 'votes'}}."""
+        from ..utils.postprocessing import assign_signatures_ensemble
+
+        return {
+            c: assign_signatures_ensemble(
+                self.chain(c), reference_P=reference_P,
+                credible_interval=credible_interval)
+            for c in range(self.n_chains)
+        }
+
+    def summary(self, reference_P="cosmic"):
+        """Pooled cross-chain summary: one row per (chain, signature) with
+        the per-chain reference assignment and cosine (summarize_samplers,
+        postprocessing.R:114-152, over chains instead of samplers)."""
+        import pandas as pd
+
+        from ..utils.postprocessing import sampler_summary
+
+        if not self.store_E:
+            raise ValueError(
+                "summary() needs exposure medians; rerun with store_E=True "
+                "(assign_signatures() works without E)")
+        frames = []
+        for c in range(self.n_chains):
+            df = sampler_summary(self.chain(c), reference_P).copy()
+            df.insert(0, "Chain", c)
+            frames.append(df)
+        return pd.concat(frames, ignore_index=True)
+
+    def pooled_assignment(self, reference_P="cosmic"):
+        """Majority assignment across chains: for each reference signature,
+        the fraction of chains whose MAP includes a signature assigned to it.
+        The cross-chain analog of the reference's within-chain vote pooling."""
+        import pandas as pd
+
+        per_chain = self.assign_signatures(reference_P)
+        rows = []
+        for c, res in per_chain.items():
+            a = res["assignments"]
+            for _, r in a.iterrows():
+                rows.append({"Chain": c, "sig_ref": r.sig_ref,
+                             "MAP_cosine": r.MAP_cosine})
+        df = pd.DataFrame(rows)
+        agg = df.groupby("sig_ref").agg(
+            n_chains=("Chain", "nunique"),
+            mean_cosine=("MAP_cosine", "mean"),
+        ).reset_index()
+        agg["prop_chains"] = agg["n_chains"] / self.n_chains
+        return agg.sort_values("prop_chains", ascending=False).reset_index(
+            drop=True)
 
     # ------------------------------------------------------------------
 

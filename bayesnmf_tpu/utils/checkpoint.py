@@ -43,12 +43,95 @@ def save_sampler(sampler, path: str):
         "output_dir": sampler.output_dir,
         "row_names": getattr(sampler, "row_names", None),
         "col_names": getattr(sampler, "col_names", None),
+        "record_full": getattr(sampler, "record_full", False),
     }
     with open(path, "wb") as fh:
         pickle.dump(payload, fh, protocol=4)
 
 
-def load_sampler(cls, path: str):
+def save_ensemble(ens, path: str):
+    """Checkpoint a ChainEnsemble: device chain states, per-chain trackers,
+    the retained sample window and metric history — enough to resume all
+    chains bit-exactly (the reference cannot resume sampling at all,
+    SURVEY.md C19)."""
+    payload = {
+        "version": 1,
+        "kind": "ensemble",
+        "spec": ens.spec,
+        "cc": ens.cc,
+        "n_chains": ens.n_chains,
+        "post_warmup": ens.post_warmup,
+        "store_E": ens.store_E,
+        "seed": ens.seed,
+        "periodic_save": ens.periodic_save,
+        "temp_sched": ens.temp_sched,
+        "hp": _to_host(ens.hp),
+        "data": np.asarray(ens._data_np),
+        "states": _to_host(ens.states),
+        "iter": ens.iter,
+        "trackers": [t.to_dict() for t in ens.trackers],
+        "end_iter": ens._end_iter,
+        "window": [_to_host(c) for c in ens._window],
+        "metric_rows": ens._metric_rows,
+        "MAP_per_chain": [
+            _to_host(m) if m is not None else None for m in ens.MAP_per_chain],
+        "time": ens.time,
+        "output_dir": ens.output_dir,
+        "row_names": getattr(ens, "row_names", None),
+        "col_names": getattr(ens, "col_names", None),
+    }
+    with open(path, "wb") as fh:
+        pickle.dump(payload, fh, protocol=4)
+
+
+def load_ensemble(cls, path: str, mesh=None):
+    import jax.numpy as jnp
+
+    from ..models.convergence import ConvergenceTracker
+    from .logging import RunLogger
+
+    with open(path, "rb") as fh:
+        p = pickle.load(fh)
+    obj = cls.__new__(cls)
+    obj.spec = p["spec"]
+    obj.cc = p["cc"]
+    obj.n_chains = p["n_chains"]
+    obj.post_warmup = p["post_warmup"]
+    obj.store_E = p["store_E"]
+    obj.seed = p["seed"]
+    obj.periodic_save = p["periodic_save"]
+    obj.temp_sched = p["temp_sched"]
+    obj.hp = p["hp"]
+    obj._data_np = p["data"]
+    obj._attach_mesh(mesh)
+    obj.states = jax.tree.map(jnp.asarray, p["states"])
+    if mesh is not None:
+        from ..parallel import mesh as M
+
+        obj.states = jax.device_put(
+            obj.states, M.state_shardings(obj.spec, mesh, chains=True))
+    obj.iter = p["iter"]
+    obj.trackers = []
+    for td in p["trackers"]:
+        t = ConvergenceTracker(obj.cc)
+        t.restore(td)
+        obj.trackers.append(t)
+    obj._end_iter = p["end_iter"]
+    # window chunks stay host-side numpy; downstream consumers
+    # (jnp.concatenate / slicing) accept either
+    obj._window = p["window"]
+    obj._metric_rows = p["metric_rows"]
+    obj.MAP_per_chain = p["MAP_per_chain"]
+    obj._reference_comparisons = {}
+    obj.time = p["time"]
+    obj.output_dir = p["output_dir"]
+    obj.logger = RunLogger(None, 1)
+    obj.row_names = p.get("row_names")
+    obj.col_names = p.get("col_names")
+    return obj
+
+
+def load_sampler(cls, path: str, mesh=None):
     import jax.numpy as jnp
 
     with open(path, "rb") as fh:
@@ -62,9 +145,20 @@ def load_sampler(cls, path: str):
     obj.post_warmup = p["post_warmup"]
     obj.temp_sched = p["temp_sched"]
     obj.hyperprior_params = p["hyperprior_params"]
-    obj.data = jnp.asarray(p["data"])
+    obj.mesh = mesh
+    if mesh is not None:
+        from ..parallel import mesh as Mm
+
+        obj._state_sharding = Mm.state_shardings(spec, mesh, chains=False)
+        obj.data = jax.device_put(
+            jnp.asarray(p["data"]), Mm.data_sharding(mesh))
+        obj.state = jax.device_put(
+            jax.tree.map(jnp.asarray, p["state"]), obj._state_sharding)
+    else:
+        obj._state_sharding = None
+        obj.data = jnp.asarray(p["data"])
+        obj.state = jax.tree.map(jnp.asarray, p["state"])
     obj.dims = {"K": spec.K, "N": spec.N, "G": spec.G}
-    obj.state = jax.tree.map(jnp.asarray, p["state"])
     obj.iter = p["iter"]
     from ..models.convergence import ConvergenceTracker
 
@@ -88,4 +182,5 @@ def load_sampler(cls, path: str):
     obj.reference_comparison = {}
     obj.row_names = p.get("row_names")
     obj.col_names = p.get("col_names")
+    obj.record_full = p.get("record_full", False)
     return obj

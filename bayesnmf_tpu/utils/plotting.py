@@ -37,13 +37,52 @@ def _save(fig, sampler, name: str, save: bool):
 # ---------------------------------------------------------------------------
 
 
+def _phase_brackets(sampler, it_max: float):
+    """Phase-region brackets (add_annotations + get_idx_annotations,
+    trace_plot.R:154-254, :264-289): (xmin, xmax, height, label, color).
+
+    Learning rank: Tempering [1, tempering-done] and MH Samples
+    [convergence, iter]; always: Inference [iter - MAP_over, iter]. The
+    MH-samples bracket is dropped for non-MH samplers (trace_plot.R:193-197).
+    """
+    segs = []
+    temps = sampler.temp_sched
+    conv_iter = sampler.tracker.converged_iter
+    if sampler.spec.learning_rank:
+        ones = np.nonzero(temps == 1.0)[0]
+        done_temp = ones[0] if ones.size else None
+        if done_temp is not None and sampler.iter >= done_temp:
+            segs.append((1, done_temp, 0.25, "Tempering", "orange"))
+    if sampler.spec.MH and conv_iter is not None:
+        segs.append((conv_iter, sampler.iter, 0.25, "MH Samples", "#26428b"))
+    segs.append((max(sampler.iter - sampler.cc.MAP_over, 1), sampler.iter,
+                 0.62, "Inference", "#00b8b8"))
+    return [(x0, min(x1, it_max), h, lab, c) for x0, x1, h, lab, c in segs]
+
+
+def _draw_brackets(ax, segs, it_max: float):
+    """Render bracket segments (horizontal bar + end tips + centered label)
+    into a thin annotation strip axis."""
+    ax.set_xlim(0, it_max * 1.02)
+    ax.set_ylim(0, 1.15)
+    ax.axis("off")
+    for x0, x1, h, lab, color in segs:
+        ax.plot([x0, x1], [h, h], color=color, lw=1.2)
+        ax.plot([x0, x0], [h - 0.12, h], color=color, lw=1.2)
+        ax.plot([x1, x1], [h - 0.12, h], color=color, lw=1.2)
+        ax.text(x0 + (x1 - x0) / 2, h + 0.05, lab, color=color,
+                fontsize=7, ha="center", va="bottom")
+
+
 def trace_plot(sampler, MAP_means: bool = False, save: bool = False,
-               metrics=None):
+               metrics=None, annotations: bool = True):
     """Faceted metric traces over iterations (sample metrics or MAP metrics).
 
     Adds rank/n_params/temp facets when learning rank and acceptance-rate
-    facets when MH, with convergence / tempering-done annotations
-    (trace_plot.R:15-140, 264-289).
+    facets when MH, with convergence / tempering-done vlines and a bracket
+    annotation strip marking the Tempering / MH Samples / Inference phase
+    regions (trace_plot.R:15-140, add_annotations :154-254,
+    get_idx_annotations :264-289).
     """
     if MAP_means:
         if not sampler.MAP_metrics:
@@ -63,8 +102,6 @@ def trace_plot(sampler, MAP_means: bool = False, save: bool = False,
 
     ncol = 2
     nrow = -(-len(metrics) // ncol)
-    fig, axes = plt.subplots(nrow, ncol, figsize=(11, 2.2 * nrow),
-                             squeeze=False, sharex=True)
     it = df["iter"].to_numpy()
     conv_iter = sampler.tracker.converged_iter
     temps = sampler.temp_sched
@@ -72,8 +109,27 @@ def trace_plot(sampler, MAP_means: bool = False, save: bool = False,
     if sampler.spec.learning_rank and (temps < 1).any():
         below = np.nonzero(temps < 1)[0]
         temper_done = below.max() + 1 if below.size else None
+
+    fig = plt.figure(figsize=(11, 2.2 * nrow + (0.45 if annotations else 0)))
+    import matplotlib.gridspec as gridspec
+
+    if annotations:
+        gs = gridspec.GridSpec(nrow + 1, ncol, figure=fig,
+                               height_ratios=[0.22] + [1.0] * nrow)
+        strip = fig.add_subplot(gs[0, :])
+        _draw_brackets(strip, _phase_brackets(sampler, float(it.max())),
+                       float(it.max()))
+        row0 = 1
+    else:
+        gs = gridspec.GridSpec(nrow, ncol, figure=fig)
+        row0 = 0
+
+    axes = []
+    for i in range(len(metrics)):
+        ax = fig.add_subplot(gs[row0 + i // ncol, i % ncol])
+        axes.append(ax)
     for i, m_ in enumerate(metrics):
-        ax = axes[i // ncol][i % ncol]
+        ax = axes[i]
         ax.plot(it, df[m_].to_numpy(), ".", ms=2.5, color="#26428b")
         ax.set_title(m_, fontsize=9)
         ax.tick_params(labelsize=7)
@@ -84,8 +140,6 @@ def trace_plot(sampler, MAP_means: bool = False, save: bool = False,
         if sampler.MAP is not None and len(sampler.MAP.get("idx", [])):
             ax.axvspan(sampler.MAP["idx"].min(), sampler.MAP["idx"].max(),
                        alpha=0.12, color="gray")
-    for j in range(len(metrics), nrow * ncol):
-        axes[j // ncol][j % ncol].axis("off")
     fig.suptitle("MAP metrics" if MAP_means else "Sample metrics", fontsize=11)
     fig.tight_layout()
     name = "trace_plot_MAP.png" if MAP_means else "trace_plot.png"
@@ -107,10 +161,18 @@ def _substitution_classes(row_names):
     return out
 
 
-def plot_sig(sampler, sig: int = 1, reference_P="cosmic", ref_sig=None,
-             save: bool = False, title=None):
+def plot_sig(sampler, sig: int = 1, reference_P="cosmic", ref="assigned",
+             ref_sig=None, save: bool = False, title=None):
     """96-trinucleotide bar chart of one signature: MAP point estimates with
-    95% CI errorbars, optionally overlaid on the assigned reference bars."""
+    95% CI errorbars overlaid on reference bars.
+
+    ``ref`` selects the reference column like the reference's plot_sig
+    (postprocessing_visualizations.R:294-314): 'assigned' uses the
+    posterior-ensemble vote assignment; 'best' Hungarian-matches THIS MAP
+    column alone against the whole reference (the best cosine match,
+    regardless of what the ensemble vote settled on); any other string is a
+    reference column name. ``ref_sig`` is a deprecated alias for a named ref.
+    """
     if sampler.MAP is None:
         sampler.get_MAP()
     sig_idx = np.asarray(sampler.MAP["sig_idx"])
@@ -124,19 +186,39 @@ def plot_sig(sampler, sig: int = 1, reference_P="cosmic", ref_sig=None,
         lo = np.asarray(ci["P"]["lower"])[:, sig - 1]
         hi = np.asarray(ci["P"]["upper"])[:, sig - 1]
 
+    if ref_sig is not None:
+        ref = ref_sig
     ref_col = None
     ref_name = None
-    if reference_P is not None:
+    mode_note = ""
+    if reference_P is not None and ref is not None:
         try:
-            res = sampler.assign_signatures_ensemble(reference_P)
-            a = res["assignments"]
-            if ref_sig is None:
-                ref_name = a[a.sig_est == sig].iloc[0].sig_ref
+            if ref == "best":
+                # best cosine match of this column alone
+                # (hungarian_assignment on a single column,
+                # postprocessing_visualizations.R:305-309)
+                from .assignment import pairwise_cosine
+                from .postprocessing import _resolve_reference
+
+                refM, ref_names = _resolve_reference(
+                    reference_P, K, getattr(sampler, "row_names", None))
+                if refM is None:
+                    raise ValueError("reference rows != data rows")
+                sim = pairwise_cosine(P_map[:, None], refM)[0]
+                ref_name = ref_names[int(np.argmax(sim))]
+                ref_col = refM[:, int(np.argmax(sim))]
+                mode_note = f"\nBest match in reference is {ref_name}"
             else:
-                ref_name = ref_sig
-            rc = sampler.reference_comparison
-            j = rc["reference_names"].index(ref_name)
-            ref_col = rc["reference_P"][:, j]
+                res = sampler.assign_signatures_ensemble(reference_P)
+                a = res["assignments"]
+                if ref == "assigned":
+                    ref_name = a[a.sig_est == sig].iloc[0].sig_ref
+                    mode_note = f"\nAssigned signature is {ref_name}"
+                else:
+                    ref_name = ref
+                rc = sampler.reference_comparison
+                j = rc["reference_names"].index(ref_name)
+                ref_col = rc["reference_P"][:, j]
             ref_col = ref_col / max(ref_col.sum(), 1e-30) * P_map.sum()
         except (ValueError, IndexError):
             ref_col = None
@@ -155,8 +237,7 @@ def plot_sig(sampler, sig: int = 1, reference_P="cosmic", ref_sig=None,
                 fmt="o", ms=2.5, lw=0.8, color="black", label="MAP (95% CI)")
     ax.set_xticks(x)
     ax.set_xticklabels(row_names, rotation=90, fontsize=4)
-    ax.set_title(title or f"Signature {sig}"
-                 + (f" → {ref_name}" if ref_name else ""), fontsize=10)
+    ax.set_title((title or f"Signature {sig}") + mode_note, fontsize=10)
     ax.legend(fontsize=7)
     fig.tight_layout()
     return _save(fig, sampler, f"sig_{sig}.png", save)
@@ -293,34 +374,71 @@ def plot_label_switching(sampler, reference_P="cosmic", save: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def plot_signature_dist(sampler, reference_P="cosmic", save: bool = False):
-    """Stacked per-signature attributed counts + residual vs observed totals."""
+def plot_signature_dist(sampler, subjects=None, reference_P="cosmic",
+                        save: bool = False,
+                        title="Distribution of Signature Allocation"):
+    """Per-mutation-type stacked attribution + residual vs observed counts.
+
+    Reference semantics (plot_signature_dist, postprocessing_visualizations
+    .R:802-907): for each mutation type k (x axis), stack each included
+    signature's attributed counts ``P[k,n] * Σ_{g∈subjects} E[n,g]`` PLUS the
+    residual ``Σ_g (M - M̂)[k,g]`` (split into positive and negative residual
+    series, :878-886), with the observed row totals overlaid as dots. One
+    deliberate deviation: M̂ here is the MAP reconstruction P_MAP @ E_MAP
+    (the reference mixes MAP attribution with the *current-iteration* M̂ from
+    sampler$get_Mhat(), :836 — incoherent across the two layers).
+    """
     if sampler.MAP is None:
         sampler.get_MAP()
-    E_map = np.asarray(sampler.MAP["E"])[np.asarray(sampler.MAP["sig_idx"])]
-    data_tot = np.asarray(sampler.data).sum(axis=0)  # per-sample totals
+    sig_idx = np.asarray(sampler.MAP["sig_idx"])
+    P_map = np.asarray(sampler.MAP["P"])[:, sig_idx]   # (K, n)
+    E_map = np.asarray(sampler.MAP["E"])[sig_idx]      # (n, G)
+    data = np.asarray(sampler.data)
+    K, G = data.shape
+    subjects = np.arange(G) if subjects is None else np.asarray(subjects)
+    n_sig = P_map.shape[1]
+
+    # per-signature attributed counts per mutation type: (K, n)
+    e_tot = E_map[:, subjects].sum(axis=1)             # (n,)
+    counts = P_map * e_tot[None, :]
+    # residual vs the MAP reconstruction, split +/- like the reference
+    Mhat = P_map @ E_map
+    resid = (data[:, subjects] - Mhat[:, subjects]).sum(axis=1)  # (K,)
+    observed = data[:, subjects].sum(axis=1)
+
     try:
         res = sampler.assign_signatures_ensemble(reference_P)
-        names = [f"{i+1} → {r}" for i, r in
-                 enumerate(res["assignments"].sig_ref)]
-    except ValueError:
-        names = [f"sig {i+1}" for i in range(E_map.shape[0])]
+        names = list(res["assignments"].sig_ref)
+    except (ValueError, TypeError):
+        names = [f"Signature{i+1}" for i in range(n_sig)]
 
-    order = np.argsort(-data_tot)
-    fig, ax = plt.subplots(figsize=(11, 3.5))
-    bottom = np.zeros(E_map.shape[1])
-    cmap = plt.get_cmap("tab20")
-    for i in range(E_map.shape[0]):
-        ax.bar(np.arange(E_map.shape[1]), E_map[i, order], bottom=bottom,
-               width=1.0, color=cmap(i % 20), label=names[i])
-    # residual between observed and attributed
-        bottom += E_map[i, order]
-    ax.plot(np.arange(E_map.shape[1]), data_tot[order], "k.", ms=2,
-            label="observed")
-    ax.set_xlabel("sample (sorted by total)", fontsize=8)
-    ax.set_ylabel("mutations", fontsize=8)
+    row_names = (getattr(sampler, "row_names", None)
+                 or [str(i) for i in range(K)])
+    classes = _substitution_classes(row_names)
+    order = (np.lexsort((row_names, [c or "" for c in classes]))
+             if any(classes) else np.arange(K))
+
+    fig, ax = plt.subplots(figsize=(14, 3.5))
+    x = np.arange(K)
+    cmap = plt.get_cmap("tab10")
+    bottom = np.zeros(K)
+    for i in range(n_sig):
+        ax.bar(x, counts[order, i], bottom=bottom, width=0.9,
+               color=cmap(i % 10), label=names[i])
+        bottom += counts[order, i]
+    pos = np.maximum(resid[order], 0.0)
+    neg = np.minimum(resid[order], 0.0)
+    if (pos > 0).any():
+        ax.bar(x, pos, bottom=bottom, width=0.9, color="#bbbbbb",
+               label="resid (+)")
+    if (neg < 0).any():
+        ax.bar(x, neg, width=0.9, color="#666666", label="resid (−)")
+    ax.plot(x, observed[order], "k.", ms=3, label="observed")
+    ax.set_xticks(x)
+    ax.set_xticklabels([row_names[j] for j in order], rotation=90, fontsize=4)
+    ax.set_ylabel("Count", fontsize=8)
     ax.legend(fontsize=6, ncol=4)
-    ax.set_title("attributed mutation distribution", fontsize=10)
+    ax.set_title(title, fontsize=10)
     fig.tight_layout()
     return _save(fig, sampler, "signature_dist.png", save)
 
@@ -343,8 +461,8 @@ def plot_sampler(sampler, reference_P="cosmic", sigs: bool = False,
                 sampler, reference_P, save=save)
         except ValueError:
             pass
-    figs["signature_dist"] = plot_signature_dist(sampler, reference_P,
-                                                 save=save)
+    figs["signature_dist"] = plot_signature_dist(
+        sampler, reference_P=reference_P, save=save)
     if sigs:
         for i in range(len(np.asarray(sampler.MAP["sig_idx"]))):
             figs[f"sig_{i+1}"] = plot_sig(sampler, i + 1, reference_P,

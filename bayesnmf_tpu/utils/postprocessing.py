@@ -74,12 +74,21 @@ def assign_signatures_ensemble(sampler, reference_P="cosmic", idxs=None,
             and np.allclose(rc["reference_P"], ref)):
         return {"assignments": rc["assignments"], "votes": rc["votes"]}
 
-    # gather posterior P samples over the window
+    # gather posterior P samples over the window; map requested iterations
+    # onto the gathered stack explicitly (one sample is recorded per
+    # iteration, so the gathered stack ends at end_iter — but never assume
+    # the requested idxs are contiguous or fully covered)
     end_iter = int(idx_arr.max())
     n_window = int(idx_arr.max() - idx_arr.min() + 1)
     P_h, _, _ = sampler._gather_window(end_iter, n_window)
     P_h = np.asarray(P_h)  # (S, K, N)
-    sel = idx_arr - int(idx_arr.min())
+    gathered_iters = np.arange(end_iter - P_h.shape[0] + 1, end_iter + 1)
+    sel = np.searchsorted(gathered_iters, idx_arr)
+    covered = (sel < P_h.shape[0]) & (gathered_iters[np.clip(
+        sel, 0, P_h.shape[0] - 1)] == idx_arr)
+    if not covered.all():
+        idx_arr = idx_arr[covered]
+        sel = sel[covered]
     P_sel = P_h[sel][:, :, keep_sigs]  # (S, K, n)
     S, _, n_est = P_sel.shape
     n_ref = ref.shape[1]

@@ -1,15 +1,33 @@
-"""Benchmark: Gibbs iterations/sec on config 2 of BASELINE.json
-(96x500 Poisson-TruncNormal+MH, fixed rank K=8, single chain).
+"""Benchmarks for the 5 BASELINE.json configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default (no args) prints ONE JSON line for the driver — config 2
+(96x500 Poisson-TruncNormal+MH, fixed K=8, single chain, fused kernel):
+{"metric", "value", "unit", "vs_baseline"}.
+
+Other modes (each prints one JSON line per config):
+  --config 1   96x100 Poisson-Exponential Gibbs, K=5 (latent-count
+               allocation path; vs a NumPy rmultinom-loop baseline)
+  --config 2   the default headline
+  --config 3   SBFI rank learning K in 1..20 on 96x1000 (fused kernel, the
+               north-star config) + the fixed-rank cost at the same size
+  --config 4   PCAWG-scale 96x2780 end-to-end fit + COSMIC ensemble
+               assignment wall-clock
+  --config 5   many-chain x large-G throughput on one chip (metrics-only
+               recording; the full 256x100k config is a multi-host pod
+               target — see BENCH_NOTES.md for the virtual-mesh scaling table)
+  --chains N   N-chain throughput at config-2 size
+  --scaling    chain-scaling efficiency on a virtual CPU mesh (run with
+               JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)
+  --all        configs 1-5
 
 ``vs_baseline`` compares against a single-core NumPy re-implementation of the
 reference's per-iteration algorithm (same O(N^2*K*G) full-matmul column sweep
 and 4 full loglik evaluations per MH update that bayesNMF does in R —
-sample_Pn.R:132-248). The R package itself is not installable in this image
-(no R runtime; BASELINE.md notes no published numbers exist either), so this
-stands in as a faithful, favorable-to-the-reference CPU baseline: NumPy's
-BLAS-backed ops are at least as fast as the R equivalents.
+sample_Pn.R:132-248; same K*G rmultinom loop for the Gibbs path —
+sample_params.R:253-265). The R package itself is not installable in this
+image (no R runtime; BASELINE.md notes no published numbers exist either), so
+this stands in as a faithful, favorable-to-the-reference CPU baseline:
+NumPy's BLAS-backed ops are at least as fast as the R equivalents.
 """
 
 import json
@@ -18,75 +36,81 @@ import time
 import numpy as np
 
 K, N, G = 96, 8, 500
-WARM_CHUNK = 50
-# Long chunks amortize the per-dispatch host round-trip (which on the axon
-# relay is ~30 ms per call — a real-TPU-VM dispatch is ~100x cheaper); one
-# host sync per chunk matches how the production scan runner behaves.
 BENCH_ITERS = 3000
 BASELINE_ITERS = 20
 
 
-def _sim_data(seed=0):
+def _sim_data(seed=0, K=96, N=8, G=500, scale=100.0):
     rng = np.random.default_rng(seed)
-    P = rng.dirichlet(np.ones(K) * 0.5, N).T * 100.0
+    P = rng.dirichlet(np.ones(K) * 0.5, N).T * scale
     E = rng.gamma(2.0, 2.0, (N, G))
     return rng.poisson(P @ E).astype(np.float32)
 
 
-def bench_tpu(data):
+def _barrier(x):
+    # device→host transfer as the completion barrier:
+    # block_until_ready on the axon relay backend returns early.
+    return float(np.asarray(x).ravel()[0])
+
+
+def bench_tpu_config(K, N, G, likelihood, prior, MH, *, learning_rank=False,
+                     rank_method="SBFI", fused=False, iters=BENCH_ITERS,
+                     record="basic", reps=3, seed=0, temps_at_one=True):
+    """Steady-state Gibbs iterations/sec for one model config on the chip."""
     import jax
     import jax.numpy as jnp
 
     from bayesnmf_tpu.config import ModelSpec, default_hyperprior_params
     from bayesnmf_tpu.models import gibbs
 
-    # the fused Pallas sweep kernel is the flagship single-chain path
-    # (Geweke-validated; ~2.1x over the XLA sweeps at this size)
-    spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson", prior="truncnormal",
-                     MH=True, fused_sweeps=True)
+    data = _sim_data(seed=seed, K=K, N=N, G=G)
+    spec = ModelSpec(K=K, N=N, G=G, likelihood=likelihood, prior=prior,
+                     MH=MH, learning_rank=learning_rank,
+                     rank_method=rank_method, fused_sweeps=fused)
     hp = default_hyperprior_params(spec, float(data.mean()))
     d = jnp.asarray(data)
-    state = gibbs.init_state(spec, hp, d, jax.random.PRNGKey(0))
-    bench_temps = jnp.ones((BENCH_ITERS,), jnp.float32)
-
-    def barrier(st):
-        # device→host transfer as the completion barrier:
-        # block_until_ready on the axon relay backend returns early.
-        return float(np.asarray(st["params"]["P"][0, 0]))
+    state = gibbs.init_state(spec, hp, d, jax.random.PRNGKey(seed))
+    temps = jnp.ones((iters,), jnp.float32)
+    if not temps_at_one:
+        temps = jnp.asarray(gibbs.temp_schedule(iters, iters))
 
     # compile + warmup with the SAME chunk length as the timed run (a
     # different scan length is a different XLA program)
-    state, _ = gibbs.run_chunk(spec, d, hp, state, bench_temps, False)
-    barrier(state)
+    state, samples = gibbs.run_chunk(spec, d, hp, state, temps, False,
+                                     record=record)
+    _barrier(samples["metrics"])
 
-    reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        state, samples = gibbs.run_chunk(spec, d, hp, state, bench_temps, False)
-        barrier(state)
+        state, samples = gibbs.run_chunk(spec, d, hp, state, temps, False,
+                                         record=record)
+        _barrier(samples["metrics"])
     dt = (time.perf_counter() - t0) / reps
-    return BENCH_ITERS / dt
+    return iters / dt
 
 
-def bench_reference_numpy(data, iters=20, seed=1):
-    """Single-core NumPy mirror of the reference's per-iteration work:
-    sequential column sweep with TWO full K×G Mhat recomputations per column
+# ---------------------------------------------------------------------------
+# NumPy baselines (single core, reference algorithm shape)
+# ---------------------------------------------------------------------------
+
+
+def baseline_numpy_mh(data, N, iters=BASELINE_ITERS, seed=1):
+    """Single-core NumPy mirror of the reference's MH per-iteration work:
+    sequential column sweep with TWO full KxG Mhat recomputations per column
     (sample_Pn.R:136,152) and 4 full loglik matrices per MH acceptance
     (sample_Pn.R:209-239), for both the P and E sweeps."""
-    rng = np.random.default_rng(seed)
-    M = data.astype(np.float64)
-    P = rng.gamma(1.0, 1.0, (K, N))
-    E = rng.gamma(1.0, 1.0, (N, G))
-    Mu_p, Sq_p = np.zeros((K, N)), np.ones((K, N))
-    Mu_e, Sq_e = np.zeros((N, G)), np.ones((N, G))
+    from scipy.special import gammaln
 
-    def mhat(P, E):
-        return P @ E
+    rng = np.random.default_rng(seed)
+    Kd, Gd = data.shape
+    M = data.astype(np.float64)
+    P = rng.gamma(1.0, 1.0, (Kd, N))
+    E = rng.gamma(1.0, 1.0, (N, Gd))
+    Mu_p, Sq_p = np.zeros((Kd, N)), np.ones((Kd, N))
+    Mu_e, Sq_e = np.zeros((N, Gd)), np.ones((N, Gd))
 
     def pois_ll(M, lam):
         lam = np.maximum(lam, 1e-6)
-        from scipy.special import gammaln
-
         return M * np.log(lam) - lam - gammaln(M + 1)
 
     def norm_ll(M, mean, var):
@@ -95,49 +119,192 @@ def bench_reference_numpy(data, iters=20, seed=1):
     t0 = time.perf_counter()
     for _ in range(iters):
         for n in range(N):
-            Mh = mhat(P, E)                      # full matmul (as reference)
+            Mh = P @ E                           # full matmul (as reference)
             sig = Mh.copy()
             Pc = P.copy(); Pc[:, n] = 0
-            Mh_no_n = mhat(Pc, E)                # second full matmul
+            Mh_no_n = Pc @ E                     # second full matmul
             resid = (M - Mh_no_n) / np.maximum(sig, 1e-6)
             mu1 = resid @ E[n]
             den = (1 / np.maximum(sig, 1e-6)) @ (E[n] ** 2) + 1 / Sq_p[:, n]
             mu = (mu1 + Mu_p[:, n] / Sq_p[:, n]) / den
-            prop = np.maximum(mu + rng.normal(size=K) / np.sqrt(den), 0)
+            prop = np.maximum(mu + rng.normal(size=Kd) / np.sqrt(den), 0)
             Pp = P.copy(); Pp[:, n] = prop
-            Mh_prop = mhat(Pp, E)
+            Mh_prop = Pp @ E
             lp_old = pois_ll(M, Mh).sum(1)
             lp_new = pois_ll(M, Mh_prop).sum(1)
             ln_old = norm_ll(M, Mh, np.maximum(Mh_prop, 1)).sum(1)
             ln_new = norm_ll(M, Mh_prop, np.maximum(Mh, 1)).sum(1)
-            ratio = np.minimum(np.exp(lp_new + ln_old - lp_old - ln_new), 1)
-            acc = rng.random(K) < ratio
+            # min(exp(d), 1) == exp(min(d, 0)): clamp so np.exp can't overflow
+            ratio = np.exp(np.minimum(lp_new + ln_old - lp_old - ln_new, 0.0))
+            acc = rng.random(Kd) < ratio
             P[acc, n] = prop[acc]
         for n in range(N):
-            Mh = mhat(P, E)
+            Mh = P @ E
             sig = Mh.copy()
             Ec = E.copy(); Ec[n] = 0
-            Mh_no_n = mhat(P, Ec)
+            Mh_no_n = P @ Ec
             resid = (M - Mh_no_n) / np.maximum(sig, 1e-6)
             mu1 = P[:, n] @ resid
             den = (P[:, n] ** 2) @ (1 / np.maximum(sig, 1e-6)) + 1 / Sq_e[n]
             mu = (mu1 + Mu_e[n] / Sq_e[n]) / den
-            prop = np.maximum(mu + rng.normal(size=G) / np.sqrt(den), 0)
+            prop = np.maximum(mu + rng.normal(size=Gd) / np.sqrt(den), 0)
             Ep = E.copy(); Ep[n] = prop
-            Mh_prop = mhat(P, Ep)
+            Mh_prop = P @ Ep
             lp_old = pois_ll(M, Mh).sum(0)
             lp_new = pois_ll(M, Mh_prop).sum(0)
             ln_old = norm_ll(M, Mh, np.maximum(Mh_prop, 1)).sum(0)
             ln_new = norm_ll(M, Mh_prop, np.maximum(Mh, 1)).sum(0)
-            ratio = np.minimum(np.exp(lp_new + ln_old - lp_old - ln_new), 1)
-            acc = rng.random(G) < ratio
+            ratio = np.exp(np.minimum(lp_new + ln_old - lp_old - ln_new, 0.0))
+            acc = rng.random(Gd) < ratio
             E[n, acc] = prop[acc]
+    return iters / (time.perf_counter() - t0)
+
+
+def baseline_numpy_gibbs(data, N, iters=BASELINE_ITERS, seed=1):
+    """NumPy mirror of the conjugate Poisson-Gibbs iteration: the K*G
+    per-cell rmultinom latent-count loop (sample_Zkg, sample_params.R:253-265)
+    followed by per-column Gamma draws for P and E (sample_Pn.R:98-120)."""
+    rng = np.random.default_rng(seed)
+    Kd, Gd = data.shape
+    M = data.astype(np.int64)
+    P = rng.gamma(1.0, 1.0, (Kd, N))
+    E = rng.gamma(1.0, 1.0, (N, Gd))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        Zsum_g = np.zeros((Kd, N))
+        Zsum_k = np.zeros((N, Gd))
+        for k in range(Kd):          # the reference's double loop over cells
+            pk = P[k]
+            for g in range(Gd):
+                w = pk * E[:, g]
+                s = w.sum()
+                if s <= 0 or M[k, g] == 0:
+                    continue
+                z = rng.multinomial(M[k, g], w / s)
+                Zsum_g[k] += z
+                Zsum_k[:, g] += z
+        P = rng.gamma(1.0 + Zsum_g, 1.0 / (1.0 + E.sum(axis=1))[None, :])
+        E = rng.gamma(1.0 + Zsum_k, 1.0 / (1.0 + P.sum(axis=0))[:, None])
+    return iters / (time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# configs
+# ---------------------------------------------------------------------------
+
+
+def config1():
+    """96x100 Poisson-Exponential Gibbs, fixed K=5 (allocation kernel)."""
+    data = _sim_data(seed=0, K=96, N=5, G=100)
+    ips = bench_tpu_config(96, 5, 100, "poisson", "exponential", False,
+                           iters=BENCH_ITERS)
+    base = baseline_numpy_gibbs(data, 5, iters=5)
+    return {"metric": "gibbs_iters_per_sec_96x100_K5_poisson_exp_gibbs",
+            "value": round(ips, 2), "unit": "iterations/sec/chip",
+            "vs_baseline": round(ips / base, 2)}
+
+
+def config2():
+    """96x500 Poisson-TruncNormal+MH fixed K=8, fused kernel (headline)."""
+    data = _sim_data(seed=0, K=96, N=8, G=500)
+    ips = bench_tpu_config(96, 8, 500, "poisson", "truncnormal", True,
+                           fused=True, iters=BENCH_ITERS)
+    base = baseline_numpy_mh(data, 8, iters=BASELINE_ITERS)
+    return {"metric": "gibbs_iters_per_sec_96x500_K8_poisson_truncnormal_MH",
+            "value": round(ips, 2), "unit": "iterations/sec/chip",
+            "vs_baseline": round(ips / base, 2)}
+
+
+def config3():
+    """SBFI rank learning K in 1..20 on 96x1000 (the north-star config)."""
+    data = _sim_data(seed=0, K=96, N=20, G=1000)
+    ips_sbfi = bench_tpu_config(96, 20, 1000, "poisson", "truncnormal", True,
+                                learning_rank=True, rank_method="SBFI",
+                                fused=True, iters=BENCH_ITERS)
+    ips_fixed = bench_tpu_config(96, 20, 1000, "poisson", "truncnormal", True,
+                                 fused=True, iters=BENCH_ITERS)
+    base = baseline_numpy_mh(data, 20, iters=5)
+    return {"metric": "sbfi_iters_per_sec_96x1000_K1to20",
+            "value": round(ips_sbfi, 2), "unit": "iterations/sec/chip",
+            "vs_baseline": round(ips_sbfi / base, 2),
+            "fixed_rank_iters_per_sec": round(ips_fixed, 2),
+            "rank_learning_overhead_x": round(ips_fixed / ips_sbfi, 3)}
+
+
+def config4():
+    """PCAWG-scale end-to-end: 96x2780 fit + COSMIC ensemble assignment."""
+    import pandas as pd
+
+    from bayesnmf_tpu.config import ConvergenceControl
+    from bayesnmf_tpu.models.sampler import GibbsSampler
+    from bayesnmf_tpu.utils.cosmic import get_cosmic
+
+    cosmic = get_cosmic()
+    rng = np.random.default_rng(0)
+    sig_idx = rng.choice(cosmic.shape[1], 6, replace=False)
+    P_true = cosmic.to_numpy()[:, sig_idx]
+    E_true = rng.gamma(1.5, 200.0, (6, 2780))
+    data = rng.poisson(P_true @ E_true).astype(np.float32)
+    df = pd.DataFrame(data, index=list(cosmic.index))
+
+    cc = ConvergenceControl(MAP_over=300, MAP_every=150, miniters=600,
+                            maxiters=1200, Ninarow_nochange=3,
+                            Ninarow_nobest=5)
+    t0 = time.perf_counter()
+    s = GibbsSampler(df, 6, likelihood="poisson", prior="truncnormal",
+                     MH=True, convergence_control=cc, post_warmup=300,
+                     fused_sweeps=True, output_dir=None, seed=0)
+    s.run_gibbs_sampler()
+    fit_s = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    res = s.assign_signatures_ensemble("cosmic")
+    assign_s = time.perf_counter() - t1
+    cos = res["assignments"]["MAP_cosine"].to_numpy(float)
+    return {"metric": "pcawg_scale_96x2780_end_to_end",
+            "value": round(fit_s + assign_s, 2), "unit": "seconds",
+            "vs_baseline": None,
+            "fit_seconds": round(fit_s, 2),
+            "assign_seconds": round(assign_s, 2),
+            "iters": int(s.iter),
+            "iters_per_sec": round(s.iter / fit_s, 2),
+            "mean_MAP_cosine": round(float(np.nanmean(cos)), 4)}
+
+
+def config5(n_chains=64, G_big=25000):
+    """Many-chain x large-G single-chip throughput (metrics-only recording;
+    the stacked sample history is the HBM bottleneck at this size). The full
+    256-chain x 96x100k config spans a multi-host pod slice via the
+    (chain, g) mesh — this measures the per-chip building block."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesnmf_tpu.config import ModelSpec, default_hyperprior_params
+    from bayesnmf_tpu.parallel import chains as C
+
+    data = _sim_data(seed=0, K=96, N=8, G=G_big, scale=50.0)
+    spec = ModelSpec(K=96, N=8, G=G_big, likelihood="poisson",
+                     prior="truncnormal", MH=True)
+    hp = default_hyperprior_params(spec, float(data.mean()))
+    d = jnp.asarray(data)
+    states = C.init_chain_states(spec, hp, d, jax.random.PRNGKey(0), n_chains)
+    iters = 50
+    temps = jnp.ones((iters,), jnp.float32)
+    acc = jnp.zeros((n_chains,), bool)
+    states, samples = C.run_chunk_chains(spec, d, hp, states, temps, acc,
+                                         record="metrics")
+    _barrier(samples["metrics"])
+    t0 = time.perf_counter()
+    states, samples = C.run_chunk_chains(spec, d, hp, states, temps, acc,
+                                         record="metrics")
+    _barrier(samples["metrics"])
     dt = time.perf_counter() - t0
-    return iters / dt
+    return {"metric": f"chain_iters_per_sec_{n_chains}chains_96x{G_big}_MH",
+            "value": round(n_chains * iters / dt, 2),
+            "unit": "chain-iterations/sec/chip", "vs_baseline": None}
 
 
 def bench_chains(n_chains: int, iters: int = 100):
-    """Multi-chain throughput (chain-iterations/sec) on the local device(s)."""
+    """Multi-chain throughput (chain-iterations/sec) at config-2 size."""
     import jax
     import jax.numpy as jnp
 
@@ -153,12 +320,59 @@ def bench_chains(n_chains: int, iters: int = 100):
     temps = jnp.ones((iters,), jnp.float32)
     acc = jnp.zeros((n_chains,), bool)
     states, _ = C.run_chunk_chains(spec, d, hp, states, temps, acc)
-    float(np.asarray(states["params"]["P"][0, 0, 0]))
+    _barrier(states["params"]["P"])
     t0 = time.perf_counter()
     states, _ = C.run_chunk_chains(spec, d, hp, states, temps, acc)
-    float(np.asarray(states["params"]["P"][0, 0, 0]))
+    _barrier(states["params"]["P"])
     dt = time.perf_counter() - t0
     return n_chains * iters / dt
+
+
+def bench_scaling():
+    """Chain-scaling efficiency over mesh sizes on the current backend.
+
+    Intended for the virtual CPU mesh (JAX_PLATFORMS=cpu +
+    xla_force_host_platform_device_count=8): fixed chains-per-device, grow
+    the chain axis; efficiency = aggregate / (n_dev x single-device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesnmf_tpu.config import ModelSpec, default_hyperprior_params
+    from bayesnmf_tpu.parallel import chains as C
+    from bayesnmf_tpu.parallel import mesh as M
+
+    n_dev = len(jax.devices())
+    per_dev = 4
+    data = _sim_data(seed=0, K=96, N=8, G=200)
+    spec = ModelSpec(K=96, N=8, G=200, likelihood="poisson",
+                     prior="truncnormal", MH=True)
+    hp = default_hyperprior_params(spec, float(data.mean()))
+    d = jnp.asarray(data)
+    iters = 30
+    temps = jnp.ones((iters,), jnp.float32)
+    rows = []
+    base = None
+    sizes = [s for s in (1, 2, 4, 8) if s <= n_dev]
+    for nd in sizes:
+        mesh = M.make_mesh(n_chain=nd, n_g=1,
+                           devices=jax.devices()[:nd])
+        n_chains = per_dev * nd
+        init, run = C.make_sharded_chain_runner(spec, mesh, n_chains,
+                                                record="metrics")
+        states = init(hp, d, jax.random.PRNGKey(0))
+        acc = jnp.zeros((n_chains,), bool)
+        states, samples = run(d, hp, states, temps, acc)
+        _barrier(samples["metrics"])
+        t0 = time.perf_counter()
+        states, samples = run(d, hp, states, temps, acc)
+        _barrier(samples["metrics"])
+        thr = n_chains * iters / (time.perf_counter() - t0)
+        if base is None:
+            base = thr
+        rows.append({"devices": nd, "chains": n_chains,
+                     "chain_iters_per_sec": round(thr, 2),
+                     "efficiency": round(thr / (base * nd), 3)})
+    return rows
 
 
 def main():
@@ -172,15 +386,20 @@ def main():
             "value": round(cips, 2), "unit": "chain-iterations/sec/chip",
             "vs_baseline": None}))
         return
-    data = _sim_data()
-    tpu_ips = bench_tpu(data)
-    base_ips = bench_reference_numpy(data, iters=BASELINE_ITERS)
-    print(json.dumps({
-        "metric": "gibbs_iters_per_sec_96x500_K8_poisson_truncnormal_MH",
-        "value": round(tpu_ips, 2),
-        "unit": "iterations/sec/chip",
-        "vs_baseline": round(tpu_ips / base_ips, 2),
-    }))
+    if "--scaling" in sys.argv:
+        for row in bench_scaling():
+            print(json.dumps(row))
+        return
+    if "--all" in sys.argv:
+        for fn in (config1, config2, config3, config4, config5):
+            print(json.dumps(fn()))
+        return
+    if "--config" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--config") + 1])
+        print(json.dumps(
+            {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}[n]()))
+        return
+    print(json.dumps(config2()))
 
 
 if __name__ == "__main__":

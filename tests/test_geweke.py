@@ -198,3 +198,38 @@ def test_sbfi_penalty_biases_rank_down():
         succ = run_successive(spec, fixed_hp(spec))
         means[rm] = succ.mean(axis=0)[5]  # mean(A) statistic
     assert means["SBFI"] < means["BFI"], means
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("flag,expect_sign", [
+    ("exact_mh", -1),                # reference MH ratio biases P/E DOWN
+    ("exact_truncnorm_hypers", +1),  # reference conjugate hypers bias UP
+])
+def test_reference_kernels_fail_geweke(flag, expect_sign):
+    """Adversarial demonstration of the reference kernels' stationary bias
+    (the claim behind config.py's exact_* defaults, VERDICT weak #7).
+
+    With ONE reference kernel substituted (the other exact), the Geweke
+    successive-conditional chain drifts off the joint by many standard
+    errors: the reference MH acceptance ratio (MH_Pn_poisson,
+    sample_Pn.R:209-239, normal-model likelihood substituted for the
+    truncated proposal density) biases the P/E marginals low (measured
+    max|z| ≈ 7.4 at these seeds), while the reference conjugate
+    Mu/Sigmasq hyper-updates (sample_priors.R:214-270, dropped
+    Phi(mu/sigma) truncation normalizer) bias them high (max|z| ≈ 9.9).
+    Notably the two biases act in opposite directions and partially cancel
+    when combined (max|z| ≈ 2.2), which is presumably why the reference's
+    end-to-end results look reasonable despite both kernels failing the
+    joint test individually.
+    """
+    kw = {flag: False}
+    spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson", prior="truncnormal",
+                     MH=True, **kw)
+    hp = fixed_hp(spec)
+    z, m_s, m_m = _geweke_z(spec, hp)
+    assert np.abs(z).max() > 6.0, (
+        f"expected the reference kernel ({flag}=False) to FAIL the joint "
+        f"test; z={z} — if this now passes, the exact_* default needs "
+        "re-justification")
+    # direction of the bias on the mean(P) statistic
+    assert np.sign(z[0]) == expect_sign, (flag, z)

@@ -109,3 +109,126 @@ def test_multihost_single_process_paths():
     temps = jnp.ones(3, jnp.float32)
     states, samples = run(data, hp, states, temps, jnp.zeros(4, bool))
     assert np.isfinite(np.asarray(samples["metrics"])).all()
+
+
+def test_ensemble_checkpoint_resume_bitexact(tmp_path):
+    """Mid-run checkpoint + resume reproduces the uninterrupted run exactly
+    (states carry the RNG keys; temps are indexed by absolute iteration)."""
+    Mdat, _ = sim(seed=7)
+    cc = ConvergenceControl(MAP_over=20, MAP_every=10, miniters=40,
+                            maxiters=40, Ninarow_nochange=99,
+                            Ninarow_nobest=99)
+    ens1 = ChainEnsemble(Mdat, 3, n_chains=3, likelihood="poisson",
+                         prior="exponential", MH=False,
+                         convergence_control=cc, seed=2)
+    ens1.run()
+
+    ens2 = ChainEnsemble(Mdat, 3, n_chains=3, likelihood="poisson",
+                         prior="exponential", MH=False,
+                         convergence_control=cc, seed=2)
+    ens2._run_chunk(19)  # to iteration 20, mid-run
+    path = str(tmp_path / "ens.ckpt")
+    ens2.save_object(path)
+
+    ens3 = ChainEnsemble.load(path)
+    assert ens3.iter == 20
+    ens3.run()
+    assert ens3.iter == ens1.iter
+    np.testing.assert_array_equal(
+        np.asarray(ens1.states["params"]["P"]),
+        np.asarray(ens3.states["params"]["P"]))
+    np.testing.assert_array_equal(
+        np.asarray(ens1.states["key"]), np.asarray(ens3.states["key"]))
+    # MAPs agree too
+    for a, b in zip(ens1.MAP_per_chain, ens3.MAP_per_chain):
+        np.testing.assert_allclose(np.asarray(a["P"]), np.asarray(b["P"]),
+                                   rtol=1e-6)
+
+
+def test_ensemble_store_E_false_omits_E(tmp_path):
+    """store_E=False: MAP omits E (no fabricated zeros) but signature
+    assignment still works; summary() refuses informatively."""
+    import pytest
+
+    Mdat, P_true = sim(seed=8)
+    cc = ConvergenceControl(MAP_over=20, MAP_every=10, miniters=20,
+                            maxiters=40, Ninarow_nochange=2, Ninarow_nobest=3)
+    ens = ChainEnsemble(Mdat, 3, n_chains=2, likelihood="poisson",
+                        prior="exponential", MH=False, store_E=False,
+                        convergence_control=cc, seed=3)
+    ens.run()
+    for m_ in ens.MAP_per_chain:
+        assert "E" not in m_
+        assert np.asarray(m_["P"]).shape[0] == 12
+    res = ens.assign_signatures(reference_P=P_true)
+    assert set(res.keys()) == {0, 1}
+    assert "MAP_cosine" in res[0]["assignments"].columns
+    with pytest.raises(ValueError, match="store_E"):
+        ens.summary(reference_P=P_true)
+
+
+def test_ensemble_postprocessing_and_logging(tmp_path):
+    """First-class driver surface: log.txt, periodic checkpoint, per-chain
+    assignment, pooled summary with a Chain column."""
+    Mdat, P_true = sim(seed=9)
+    cc = ConvergenceControl(MAP_over=20, MAP_every=10, miniters=20,
+                            maxiters=40, Ninarow_nochange=2, Ninarow_nobest=3)
+    od = str(tmp_path / "ens_run")
+    ens = ChainEnsemble(Mdat, 3, n_chains=2, likelihood="poisson",
+                        prior="exponential", MH=False,
+                        convergence_control=cc, seed=4, output_dir=od)
+    ens.run()
+    import os
+
+    assert os.path.exists(os.path.join(ens.output_dir, "log.txt"))
+    assert os.path.exists(os.path.join(ens.output_dir, "ensemble.ckpt"))
+    log_txt = open(os.path.join(ens.output_dir, "log.txt")).read()
+    assert "chains" in log_txt
+
+    summ = ens.summary(reference_P=P_true)
+    assert "Chain" in summ.columns
+    assert set(summ["Chain"].unique()) == {0, 1}
+    pooled = ens.pooled_assignment(reference_P=P_true)
+    assert (pooled["prop_chains"] <= 1.0).all()
+    assert pooled["n_chains"].sum() >= 2
+
+
+def test_single_chain_g_sharded_sampler():
+    """One large fit spans the mesh: E/Zsum_k/data sharded over 'g', GSPMD
+    inserts the psums for the sweeps' G-contractions (VERDICT weak #5)."""
+    from bayesnmf_tpu.models.sampler import GibbsSampler
+
+    Mdat, _ = sim(seed=10, G=32)
+    cc = ConvergenceControl(MAP_over=20, MAP_every=10, miniters=20,
+                            maxiters=40, Ninarow_nochange=2, Ninarow_nobest=3)
+    mesh = M.make_mesh(n_chain=1, n_g=8)
+    s = GibbsSampler(Mdat, 3, likelihood="poisson", prior="truncnormal",
+                     MH=True, post_warmup=20, convergence_control=cc,
+                     mesh=mesh, seed=6)
+    assert s.state["params"]["E"].sharding.spec == jax.sharding.PartitionSpec(
+        None, "g")
+    assert s.data.sharding.spec == jax.sharding.PartitionSpec(None, "g")
+    s.run_gibbs_sampler()
+    assert s.MAP is not None
+    met = s.sample_metrics
+    assert np.isfinite(met["loglikelihood"].to_numpy()[1:]).all()
+    # matches the unsharded run statistically: same seed, same kernel — the
+    # scan program differs only in layout, so final loglik must be close
+    s2 = GibbsSampler(Mdat, 3, likelihood="poisson", prior="truncnormal",
+                      MH=True, post_warmup=20, convergence_control=cc, seed=6)
+    s2.run_gibbs_sampler()
+    ll1 = met["loglikelihood"].to_numpy()[-1]
+    ll2 = s2.sample_metrics["loglikelihood"].to_numpy()[-1]
+    assert abs(ll1 - ll2) / max(abs(ll2), 1.0) < 0.05
+
+
+def test_fused_sweeps_rejects_mesh():
+    import pytest
+
+    from bayesnmf_tpu.models.sampler import GibbsSampler
+
+    Mdat, _ = sim(seed=11, G=16)
+    mesh = M.make_mesh(n_chain=1, n_g=8)
+    with pytest.raises(ValueError, match="fused_sweeps"):
+        GibbsSampler(Mdat, 3, likelihood="poisson", prior="truncnormal",
+                     MH=True, mesh=mesh, fused_sweeps=True)

@@ -67,3 +67,43 @@ def test_summarize_samplers(fitted):
 
     df = summarize_samplers({"run_a": fitted}, "cosmic")
     assert "Name" in df.columns and len(df) > 0
+
+
+def test_plot_sig_best_mode(fitted):
+    """'best' Hungarian-matches the single MAP column against the whole
+    reference (postprocessing_visualizations.R:305-309) — may differ from
+    the ensemble-vote assignment."""
+    fig = plotting.plot_sig(fitted, sig=1, reference_P="cosmic", ref="best")
+    assert fig is not None
+    title = fig.axes[0].get_title()
+    assert "Best match in reference is SBS" in title
+
+
+def test_plot_sig_named_mode(fitted):
+    fig = plotting.plot_sig(fitted, sig=1, reference_P="cosmic", ref="SBS5")
+    labels = [t.get_text() for t in fig.axes[0].get_legend().get_texts()]
+    assert any("SBS5" in t for t in labels)
+
+
+def test_signature_dist_residual(fitted):
+    """The stacked bars carry a residual component against the MAP
+    reconstruction (postprocessing_visualizations.R:834-837, 878-886)."""
+    fig = plotting.plot_signature_dist(fitted, reference_P="cosmic")
+    labels = [t.get_text() for t in fig.axes[0].get_legend().get_texts()]
+    assert any("resid" in t for t in labels)
+    assert any("observed" in t for t in labels)
+    # subjects subsetting works (reference's subjects argument)
+    fig2 = plotting.plot_signature_dist(fitted, subjects=np.arange(10),
+                                        reference_P="cosmic")
+    assert fig2 is not None
+
+
+def test_trace_plot_annotation_strip(fitted):
+    """Bracket annotation strip (add_annotations, trace_plot.R:154-254):
+    one extra axes on top carrying the Inference bracket text."""
+    fig = plotting.trace_plot(fitted, annotations=True)
+    texts = [t.get_text() for ax in fig.axes for t in ax.texts]
+    assert "Inference" in texts
+    fig2 = plotting.trace_plot(fitted, annotations=False)
+    texts2 = [t.get_text() for ax in fig2.axes for t in ax.texts]
+    assert "Inference" not in texts2
