@@ -4,23 +4,33 @@ The reference draws, for every cell (k, g), Z[k,:,g] ~ Multinomial(M[k,g],
 p ∝ P[k,:]*A*E[:,g]) in a K*G R-level loop (sample_Zkg, sample_params.R:253-265)
 — its dominant cost. Downstream only the two marginal sums are consumed
 (sample_Pn.R:100-114 needs Σ_g Z[k,n,·]; sample_En.R:99-113 needs Σ_k Z[·,n,g]),
-so the K×N×G tensor is never materialized here.
+so the K×N×G tensor is materialized only transiently inside one fused program.
 
-TPU-native design: the multinomial is drawn as a chain of N-1 conditional
-binomials, each a fully vectorized (K, G) ``jax.random.binomial`` draw on the
-VPU, with the two partial sums accumulated in the scan carry. Cost is
-O(N * K * G) vector work with O(K*N + N*G) output — bandwidth-optimal.
+TPU-native design: **binary splitting** of the multinomial. A multinomial
+over N components factorizes exactly into a balanced binary tree of
+conditional binomials — Binomial(n, w_left/(w_left+w_right)) at every node —
+so the whole draw needs only ceil(log2 N) *sequential* binomial launches,
+each a single fully-batched (nodes, K, G) ``jax.random.binomial`` call on the
+VPU. The previous design chained N-1 sequential (K, G) binomials; each call
+pays the sampler's rejection/inversion while_loop latency, which profiling
+showed dominated the conjugate-Gibbs iteration (905 of 971 µs at 96×100,
+N=5). Depth-log2 batching cuts the sequential launches from N-1 to
+ceil(log2 N) and makes each one wider.
 """
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+
+from . import distributions as D
 
 
 def allocate_counts(key, M, P, A, E):
     """Draw Z ~ Multinomial(M[k,g], probs ∝ P[k,:]*A*E[:,g]) per cell and
-    return its marginal sums without materializing Z.
+    return its marginal sums.
 
     Args:
       key: PRNG key.
@@ -32,46 +42,61 @@ def allocate_counts(key, M, P, A, E):
       Zsum_k: (N, G) = Σ_k Z[k, n, g]
 
     If all weights in a cell are zero the cell allocates all-zero counts,
-    matching the reference's guard (sample_params.R:257-261).
+    matching the reference's guard (sample_params.R:257-261). Components with
+    zero weight (A_n = 0, or padding to the next power of two) receive
+    exactly zero counts: their conditional split probability is exactly 0.
     """
     K, N = P.shape
     G = E.shape[1]
     PA = P * A[None, :]  # (K, N)
 
-    # Unnormalized weights w_n[k,g] = PA[k,n] * E[n,g]; total = Mhat[k,g].
-    total = jnp.dot(PA, E, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)  # (K, G)
+    # leaf weights w_n[k,g] = PA[k,n] * E[n,g], padded to a power of two
+    n2 = 1 << max(int(math.ceil(math.log2(max(N, 1)))), 0)
+    W = jnp.einsum("kn,ng->nkg", PA, E)  # (N, K, G)
+    if n2 > N:
+        W = jnp.concatenate(
+            [W, jnp.zeros((n2 - N, K, G), W.dtype)], axis=0)
+
+    # bottom-up node weights: levels[l] has n2 >> l nodes
+    levels = [W]
+    while levels[-1].shape[0] > 1:
+        w = levels[-1]
+        levels.append(w[0::2] + w[1::2])
+
+    # top-down counts: split each node's count between its two children with
+    # one batched binomial per level (depth = log2(n2) sequential launches)
+    counts = jnp.asarray(M, jnp.float32)[None]  # (1, K, G) at the root
+    total = levels[-1][0]
     zero_cell = total <= 0.0
+    counts = jnp.where(zero_cell[None], 0.0, counts)
 
-    keys = jax.random.split(key, N)
-
-    def body(carry, inp):
-        remaining, rem_weight, Zsum_g, Zsum_k = carry
-        n, kk = inp
-        w_n = jnp.outer(PA[:, n], E[n, :])  # (K, G) rank-1, VPU-cheap
-        # conditional binomial prob q = w_n / remaining weight
-        q = jnp.where(rem_weight > 0.0, w_n / jnp.maximum(rem_weight, 1e-30), 0.0)
+    n_levels = len(levels) - 1
+    keys = jax.random.split(key, max(n_levels, 1))
+    for li in range(n_levels - 1, -1, -1):
+        w_child = levels[li]          # (2m, K, G)
+        w_parent = levels[li + 1]     # (m, K, G)
+        w_left = w_child[0::2]
+        q = jnp.where(w_parent > 0.0,
+                      w_left / jnp.maximum(w_parent, 1e-30), 0.0)
         q = jnp.clip(q, 0.0, 1.0)
-        z_n = jax.random.binomial(kk, remaining, q, dtype=jnp.float32)
-        z_n = jnp.where(zero_cell, 0.0, jnp.minimum(z_n, remaining))
-        Zsum_g = Zsum_g.at[:, n].set(jnp.sum(z_n, axis=1))
-        Zsum_k = Zsum_k.at[n, :].set(jnp.sum(z_n, axis=0))
-        return (remaining - z_n, rem_weight - w_n, Zsum_g, Zsum_k), None
+        # Degenerate elements (q==0 from padding/excluded components, q==1,
+        # or zero counts) must not reach the sampler: its internal
+        # inversion/btrs math NaNs on the boundary and spins the rejection
+        # while_loop to its cap — measured as a 12x slowdown. Feed them a
+        # benign (n=0, q=0.5) draw and overwrite the result exactly.
+        degen = (q <= 0.0) | (q >= 1.0) | (counts <= 0.0)
+        q_call = jnp.where(degen, 0.5, q)
+        n_call = jnp.where(degen, 0.0, counts)
+        # ops.distributions.binomial: one uniform launch per level, BTRS with
+        # unrolled candidates + bounded-scan inversion (jax.random.binomial
+        # costs ~137 µs/call here and degrades 34x on >2-D shapes)
+        left = D.binomial(keys[li], n_call, q_call)
+        left = jnp.minimum(left, counts)
+        left = jnp.where(q >= 1.0, counts, left)
+        left = jnp.where((q <= 0.0) | (counts <= 0.0), 0.0, left)
+        right = counts - left
+        counts = jnp.stack([left, right], axis=1).reshape(
+            -1, *counts.shape[1:])
 
-    init = (
-        jnp.asarray(M, jnp.float32),
-        total,
-        jnp.zeros((K, N), jnp.float32),
-        jnp.zeros((N, G), jnp.float32),
-    )
-    ns = jnp.arange(N)
-    (remaining, _, Zsum_g, Zsum_k), _ = jax.lax.scan(body, init, (ns, keys))
-
-    # Numerical safety: any counts left by q-clipping round-off go to the last
-    # active component (q==1 on the final step makes this a no-op in theory).
-    # Find last n with any weight; add remaining there via argmax over reversed A.
-    last_active = (N - 1) - jnp.argmax((A > 0)[::-1])
-    leftover = jnp.where(zero_cell, 0.0, remaining)
-    Zsum_g = Zsum_g.at[:, last_active].add(jnp.sum(leftover, axis=1))
-    Zsum_k = Zsum_k.at[last_active, :].add(jnp.sum(leftover, axis=0))
-    return Zsum_g, Zsum_k
+    Z = counts[:N]  # (N, K, G) exact multinomial leaves
+    return Z.sum(axis=2).T, Z.sum(axis=1)

@@ -5,9 +5,17 @@ boot with JAX_PLATFORMS=axon exported, so plain env-var overrides are too
 late; instead we flip jax_platforms before the (lazy) backend initialization
 and force 8 host devices (SURVEY.md §4: fake-pod CPU simulation).
 
-No persistent compilation cache: the cache's executable-serialization path
-(compilation_cache.put_executable_and_time) segfaults intermittently on the
-larger e2e programs in this image, killing the whole pytest process.
+Persistent compilation cache: still broken in this image — re-verified this
+round: enabling jax_compilation_cache_dir segfaults the pytest process in the
+executable-serialization path (compilation_cache.put_executable_and_time) on
+the larger e2e programs, same as round 1. Opt back in with
+BAYESNMF_TEST_CACHE=1 to re-test on a newer jaxlib.
+
+Suite wall-clock: dominated by XLA:CPU compiles of the many (spec, shape)
+program variants. pytest-xdist was measured NOT to help on this host
+(16:13 with -n 4 vs 16:42 sequential — only 2 physical cores, already
+saturated); on a many-core CI box ``-n auto`` should parallelize the
+compiles across workers.
 """
 
 import os
@@ -21,5 +29,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+if os.environ.get("BAYESNMF_TEST_CACHE", "0") == "1":
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 assert jax.devices()[0].platform == "cpu"

@@ -84,3 +84,42 @@ def test_gamma_shape_cond_logpdf_finite():
         x, jnp.float32(5.0), jnp.float32(1.0), jnp.log(2.0), jnp.log(0.5)
     )
     assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_binomial_moments_and_gof():
+    """ops.distributions.binomial (BTRS + bounded inversion): moments and
+    chi-square goodness of fit across both regimes and the p>1/2 flip."""
+    from scipy import stats
+
+    from bayesnmf_tpu.ops import distributions as D
+
+    S = 60000
+    for i, (n0, p0) in enumerate([(5, 0.3), (40, 0.15), (120, 0.4),
+                                  (120, 0.97)]):
+        x = np.asarray(jax.jit(D.binomial)(
+            jax.random.PRNGKey(100 + i),
+            jnp.full((S,), float(n0)), jnp.full((S,), p0)))
+        assert x.min() >= 0 and x.max() <= n0
+        sd_mean = np.sqrt(n0 * p0 * (1 - p0) / S)
+        assert abs(x.mean() - n0 * p0) < 5 * sd_mean, (n0, p0, x.mean())
+        xi = x.astype(int)
+        lo = max(0, int(n0 * p0 - 6 * np.sqrt(n0 * p0 * (1 - p0))))
+        hi = min(n0, int(n0 * p0 + 6 * np.sqrt(n0 * p0 * (1 - p0))))
+        ks = np.arange(lo, hi + 1)
+        obs = np.array([(xi == k).sum() for k in ks], float)
+        exp = stats.binom.pmf(ks, n0, p0) * S
+        mask = exp > 5
+        chi2 = ((obs[mask] - exp[mask]) ** 2 / exp[mask]).sum()
+        pval = 1 - stats.chi2.cdf(chi2, mask.sum() - 1)
+        assert pval > 1e-4, (n0, p0, pval)
+
+
+def test_binomial_degenerate_edges():
+    from bayesnmf_tpu.ops import distributions as D
+
+    key = jax.random.PRNGKey(0)
+    n = jnp.asarray([0.0, 7.0, 7.0, 3.0])
+    p = jnp.asarray([0.3, 0.0, 1.0, 0.5])
+    x = np.asarray(jax.jit(D.binomial)(key, n, p))
+    assert x[0] == 0.0 and x[1] == 0.0 and x[2] == 7.0
+    assert 0.0 <= x[3] <= 3.0

@@ -232,3 +232,40 @@ def test_fused_sweeps_rejects_mesh():
     with pytest.raises(ValueError, match="fused_sweeps"):
         GibbsSampler(Mdat, 3, likelihood="poisson", prior="truncnormal",
                      MH=True, mesh=mesh, fused_sweeps=True)
+
+
+def test_chain_dp_hot_loop_has_no_collectives():
+    """Chain-parallel scaling validation that works on shared-core virtual
+    devices: the compiled chain-dp chunk program must contain NO collectives
+    (chains never communicate in the hot loop ⇒ real-hardware chain scaling
+    is linear up to data replication), while a (chain, g) mesh MUST insert
+    all-reduces for the sweeps' cross-G contractions."""
+    spec = ModelSpec(K=12, N=3, G=16, likelihood="poisson",
+                     prior="truncnormal", MH=True)
+    hp = default_hyperprior_params(spec, 20.0)
+    Mdat, _ = sim(G=16)
+    data = jnp.asarray(Mdat)
+    temps = jnp.ones(2, jnp.float32)
+
+    def compiled_text(n_chain, n_g, n_chains):
+        mesh = M.make_mesh(n_chain=n_chain, n_g=n_g)
+        init, run = C.make_sharded_chain_runner(spec, mesh, n_chains)
+        states = init(hp, data, jax.random.PRNGKey(0))
+        acc = jnp.zeros((n_chains,), bool)
+        from bayesnmf_tpu.parallel import mesh as Mm
+
+        data_sh = jax.device_put(data, Mm.data_sharding(mesh))
+        jitted = jax.jit(
+            lambda d, h, s, t, a: C.run_chunk_chains(spec, d, h, s, t, a))
+        return jitted.lower(data_sh, hp, states, temps,
+                            acc).compile().as_text()
+
+    coll = ("all-reduce", "all-gather", "all-to-all", "collective-permute",
+            "reduce-scatter")
+    txt_dp = compiled_text(8, 1, 8)
+    assert not any(c in txt_dp for c in coll), (
+        "chain-dp program unexpectedly communicates: " +
+        ",".join(c for c in coll if c in txt_dp))
+    txt_gs = compiled_text(4, 2, 8)
+    assert any(c in txt_gs for c in coll), (
+        "G-sharded program has no collectives — G reductions not distributed")
