@@ -571,13 +571,24 @@ def fit(
     MH: Optional[bool] = None,
     convergence_control: Optional[ConvergenceControl] = None,
     output_dir: Optional[str] = "default",
+    parallel_bic: bool = True,
     **kw,
 ):
     """Fit Bayesian NMF; the TPU-native ``bayesNMF()``.
 
     With a scalar rank or rank_method SBFI/BFI this runs one sampler; with
-    rank_method='BIC' it fits one sampler per candidate rank and returns
+    rank_method='BIC' it fits one model per candidate rank and returns
     {results, best_rank, sampler} picking the min final BIC (bayesNMF.R:66-126).
+
+    The BIC search runs all candidate ranks SIMULTANEOUSLY as one vmapped
+    device program by default (``parallel_bic=True``): rank k becomes a chain
+    of the max-rank model with the inclusion vector fixed to k ones, whose
+    excluded columns sample from the prior exactly like the reference's
+    A_n = 0 dispatch (sample_Pn.R:12-13) — identical in distribution to a
+    dedicated rank-k fit, at the wall-clock cost of ONE fit instead of the
+    reference's serial lapply over ranks (bayesNMF.R:67-105).
+    ``parallel_bic=False`` restores the serial per-rank loop (needed for
+    per-rank output dirs, mesh-sharded fits, or fused_sweeps).
 
     ``output_dir`` defaults to ``nmf_<likelihood>_<prior>`` like the reference
     (bayesNMF.R:33); pass ``None`` to disable logging/checkpointing entirely
@@ -586,6 +597,26 @@ def fit(
     if output_dir == "default":
         output_dir = f"nmf_{likelihood}_{prior}"
     learning = not isinstance(rank, (int, np.integer)) and len(list(rank)) > 1
+    if learning and rank_method == "BIC" and parallel_bic:
+        from ..parallel.ensemble import ChainEnsemble
+
+        ranks = sorted(int(r) for r in rank)
+        N = max(ranks)
+        masks = np.zeros((len(ranks), N), np.float32)
+        for c, k in enumerate(ranks):
+            masks[c, :k] = 1.0
+        ens = ChainEnsemble(
+            data, N, n_chains=len(ranks), likelihood=likelihood, prior=prior,
+            MH=MH, convergence_control=convergence_control,
+            output_dir=output_dir, A_masks=masks, **kw)
+        ens.run()
+        table = ens.bic_table()
+        results = [{"rank": int(r["rank"]), "chain": int(r["chain"]),
+                    "BIC": float(r["BIC"]), "time": ens.time["total"]}
+                   for _, r in table.iterrows()]
+        best_chain = int(table.iloc[0]["chain"])
+        return {"results": results, "best_rank": int(table.iloc[0]["rank"]),
+                "sampler": ens.chain(best_chain), "ensemble": ens}
     if learning and rank_method == "BIC":
         results = []
         best = None

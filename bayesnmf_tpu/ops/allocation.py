@@ -72,9 +72,17 @@ def allocate_counts(key, M, P, A, E):
 
     n_levels = len(levels) - 1
     keys = jax.random.split(key, max(n_levels, 1))
+    # ONE uniform launch covers every level of the conditional-binomial tree
+    # (n2 - 1 internal nodes total); per-level slices index it by node offset.
+    UNROLL = 8
+    u_tree = jax.random.uniform(
+        key, (2 * UNROLL + 1, max(n2 - 1, 1), K, G), jnp.float32,
+        minval=jnp.float32(1.2e-38))
+    node_off = 0
     for li in range(n_levels - 1, -1, -1):
         w_child = levels[li]          # (2m, K, G)
         w_parent = levels[li + 1]     # (m, K, G)
+        m_nodes = w_parent.shape[0]
         w_left = w_child[0::2]
         q = jnp.where(w_parent > 0.0,
                       w_left / jnp.maximum(w_parent, 1e-30), 0.0)
@@ -87,10 +95,13 @@ def allocate_counts(key, M, P, A, E):
         degen = (q <= 0.0) | (q >= 1.0) | (counts <= 0.0)
         q_call = jnp.where(degen, 0.5, q)
         n_call = jnp.where(degen, 0.0, counts)
-        # ops.distributions.binomial: one uniform launch per level, BTRS with
-        # unrolled candidates + bounded-scan inversion (jax.random.binomial
-        # costs ~137 µs/call here and degrades 34x on >2-D shapes)
-        left = D.binomial(keys[li], n_call, q_call)
+        # ops.distributions.binomial_from_u: BTRS with unrolled candidates +
+        # unrolled-inversion small regime (jax.random.binomial costs ~137
+        # µs/call here and degrades 34x on >2-D shapes)
+        left = D.binomial_from_u(
+            u_tree[:, node_off:node_off + m_nodes], keys[li], n_call, q_call,
+            unroll=UNROLL)
+        node_off += m_nodes
         left = jnp.minimum(left, counts)
         left = jnp.where(q >= 1.0, counts, left)
         left = jnp.where((q <= 0.0) | (counts <= 0.0), 0.0, left)

@@ -80,13 +80,71 @@ def truncnorm_nonneg(key, mu, sigmasq, shape=None):
     return jnp.maximum(x, 0.0)
 
 
-def gamma(key, shape_param, rate, shape=None):
-    """Gamma(shape, rate) draws (R parameterization: mean = shape/rate)."""
+def gamma(key, shape_param, rate, shape=None, unroll: int = 4):
+    """Exact Gamma(shape, rate) draws (R parameterization: mean = shape/rate).
+
+    Replaces ``jax.random.gamma`` on the hot paths: that implementation runs
+    a rejection ``while_loop`` with fresh RNG bits per round (~29 µs per call
+    plus a serialization barrier across the whole step on this backend; the
+    conjugate Poisson-Gibbs iteration makes 4 such calls). Here ALL randomness
+    comes from ONE uniform launch: Marsaglia-Tsang (2000) squeeze-free
+    transformed rejection with ``unroll`` pre-drawn candidate rounds
+    (acceptance > 95% for every a >= 1, so P(all rejected) < ~1e-5 per
+    element) and an exact lax.while_loop fallback for the leftovers whose
+    predicate is almost always false. a < 1 uses the standard boost
+    Gamma(a) = Gamma(a+1) * U^(1/a). Exact sampler — same rejection test as
+    the reference's stats::rgamma C implementation family.
+    """
     shape_param = jnp.asarray(shape_param, jnp.float32)
     rate = jnp.asarray(rate, jnp.float32)
     if shape is None:
         shape = jnp.broadcast_shapes(shape_param.shape, rate.shape)
-    g = jax.random.gamma(key, jnp.broadcast_to(shape_param, shape), dtype=jnp.float32)
+    a = jnp.broadcast_to(shape_param, shape)
+    boost = a < 1.0
+    a_eff = jnp.where(boost, a + 1.0, a)
+    d = a_eff - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+
+    u_all = jax.random.uniform(
+        key, (2 * unroll + 1,) + shape, jnp.float32, minval=_TINY)
+
+    def candidate(u_z, u_a):
+        x = jax.scipy.special.ndtri(u_z)
+        one_cx = 1.0 + c * x
+        v = one_cx * one_cx * one_cx
+        ok = (v > 0.0) & (
+            jnp.log(u_a)
+            < 0.5 * x * x + d - d * v + d * jnp.log(jnp.maximum(v, _TINY)))
+        return d * v, ok
+
+    g = jnp.full(shape, jnp.nan, jnp.float32)
+    done = jnp.zeros(shape, bool)
+    for r in range(unroll):
+        gv, ok = candidate(u_all[2 * r], u_all[2 * r + 1])
+        g = jnp.where(~done & ok, gv, g)
+        done = done | ok
+
+    def cond(carry):
+        done, _, _ = carry
+        return ~jnp.all(done)
+
+    def body(carry):
+        done, g, kk = carry
+        kk, k1 = jax.random.split(kk)
+        uv = jax.random.uniform(k1, (2,) + shape, jnp.float32, minval=_TINY)
+        gv, ok = candidate(uv[0], uv[1])
+        g = jnp.where(~done & ok, gv, g)
+        return done | ok, g, kk
+
+    done, g, _ = jax.lax.while_loop(
+        cond, body, (done, g, jax.random.fold_in(key, 11)))
+
+    # boost for a < 1: multiply by U^(1/a) in log space (avoids 0^inf at
+    # tiny a); exact, uses the last pre-drawn uniform
+    g = g * jnp.where(
+        boost,
+        jnp.exp(jnp.log(u_all[-1]) / jnp.maximum(a, 1e-12)),
+        1.0)
     return g / jnp.broadcast_to(rate, shape)
 
 
@@ -259,26 +317,14 @@ def _btrs_candidates(u, v, n, p, spq, b, a, c, vr, alpha, lpq, m, h):
     return k, accept
 
 
-def binomial(key, n, p, unroll: int = 8, inv_steps: int = 64):
-    """Exact Binomial(n, p) sampler, elementwise over broadcast shapes.
-
-    Replaces ``jax.random.binomial`` in the allocation hot loop: that
-    implementation costs ~137 µs per (96,100) call on this backend (internal
-    while_loop rounds with fresh RNG bits per round, both samplers evaluated)
-    and degrades 34x on >2-D shapes. This one draws ALL randomness in ONE
-    uniform launch and uses two exact regimes:
-
-      - n·p' <= 10 (p' = min(p, 1-p)): CDF inversion by a fixed
-        ``inv_steps``-step scan. P(X > 64 | n·p' <= 10) < 1e-30, far below
-        f32 CDF resolution, so the truncation is exact in f32 arithmetic
-        (the same arithmetic jax's own inversion path uses).
-      - n·p' > 10: BTRS transformed rejection (Hörmann 1993) with
-        ``unroll`` pre-drawn candidate rounds (acceptance ≥ ~0.86, so
-        P(all rejected) < 3e-8 per element) and an exact lax.while_loop
-        fallback for the leftovers — its predicate is almost always false,
-        so it costs one predicate check per call.
-
-    Symmetry: X = n - Binomial(n, 1-p) handles p > 1/2.
+def binomial_from_u(u_all, key_fb, n, p, unroll: int = 8,
+                    inv_steps: int = 40):
+    """Exact Binomial(n, p) from pre-drawn uniforms ``u_all`` of shape
+    ``(2*unroll + 1,) + broadcast_shape`` (see ``binomial`` for the scheme;
+    taking uniforms lets the allocation tree feed every level of conditional
+    binomials from ONE ``jax.random.uniform`` launch). ``key_fb`` seeds the
+    exact rejection fallback for the ~3e-8 of elements all ``unroll``
+    pre-drawn BTRS rounds reject.
     """
     n = jnp.asarray(n, jnp.float32)
     p = jnp.asarray(p, jnp.float32)
@@ -291,28 +337,24 @@ def binomial(key, n, p, unroll: int = 8, inv_steps: int = 64):
     np_ = n * pp
     small = np_ <= 10.0
 
-    u_all = jax.random.uniform(
-        key, (2 * unroll + 1,) + shape, jnp.float32, minval=_TINY)
-
     # ---- inversion regime (sanitize: pp in (0, 0.5], n >= 0) -------------
+    # Unrolled Python loop, NOT lax.scan: the body is a handful of
+    # elementwise ops, so unrolling lets XLA fuse all ``inv_steps`` rounds
+    # into one VPU kernel instead of paying per-step loop overhead.
+    # inv_steps=40 is exact in f32: the largest CDF value an f32 uniform can
+    # exceed is 1 - 2^-24, reached before x = 40 for every n·p' <= 10
+    # (Poisson(10) tail: P(X > 32) ≈ 4e-9 < 2^-24).
     p_inv = jnp.where(small, pp, 0.01)
     n_inv = jnp.where(small, n, 1.0)
     u = u_all[0]
-    log1mp = jnp.log1p(-p_inv)
     ratio = p_inv / jnp.maximum(1.0 - p_inv, 1e-12)
-    pmf0 = jnp.exp(n_inv * log1mp)  # P(X=0)
-
-    def inv_step(carry, j):
-        cdf, pmf, x = carry
-        take = u > cdf
-        x = x + take.astype(jnp.float32)
+    pmf = jnp.exp(n_inv * jnp.log1p(-p_inv))  # P(X=0)
+    cdf = pmf
+    x_inv = jnp.zeros(shape, jnp.float32)
+    for j in range(inv_steps):
+        x_inv = x_inv + (u > cdf).astype(jnp.float32)
         pmf = pmf * (n_inv - j) / (j + 1.0) * ratio
         cdf = cdf + pmf
-        return (cdf, pmf, x), None
-
-    (_, _, x_inv), _ = jax.lax.scan(
-        inv_step, (pmf0, pmf0, jnp.zeros(shape, jnp.float32)),
-        jnp.arange(inv_steps, dtype=jnp.float32))
     x_inv = jnp.minimum(x_inv, n_inv)
 
     # ---- BTRS regime (sanitize: np_ > 10) ---------------------------------
@@ -354,7 +396,34 @@ def binomial(key, n, p, unroll: int = 8, inv_steps: int = 64):
 
     # treat small-regime elements as already done so they never gate the loop
     done, k_acc, _ = jax.lax.while_loop(
-        cond, body, (done | small, k_acc, jax.random.fold_in(key, 7)))
+        cond, body, (done | small, k_acc, key_fb))
 
     y = jnp.where(small, x_inv, k_acc)
     return jnp.where(flip, n - y, y)
+
+
+def binomial(key, n, p, unroll: int = 8, inv_steps: int = 40):
+    """Exact Binomial(n, p) sampler, elementwise over broadcast shapes.
+
+    Replaces ``jax.random.binomial`` in the allocation hot loop: that
+    implementation costs ~137 µs per (96,100) call on this backend (internal
+    while_loop rounds with fresh RNG bits per round, both samplers evaluated)
+    and degrades 34x on >2-D shapes. This one draws ALL randomness in ONE
+    uniform launch and uses two exact regimes:
+
+      - n·p' <= 10 (p' = min(p, 1-p)): CDF inversion by a fixed
+        ``inv_steps`` fully-unrolled rounds — exact in f32 (see
+        ``binomial_from_u``).
+      - n·p' > 10: BTRS transformed rejection (Hörmann 1993) with
+        ``unroll`` pre-drawn candidate rounds (acceptance ≥ ~0.86, so
+        P(all rejected) < 3e-8 per element) and an exact lax.while_loop
+        fallback for the leftovers — its predicate is almost always false,
+        so it costs one predicate check per call.
+
+    Symmetry: X = n - Binomial(n, 1-p) handles p > 1/2.
+    """
+    shape = jnp.broadcast_shapes(jnp.shape(n), jnp.shape(p))
+    u_all = jax.random.uniform(
+        key, (2 * unroll + 1,) + shape, jnp.float32, minval=_TINY)
+    return binomial_from_u(u_all, jax.random.fold_in(key, 7), n, p,
+                           unroll=unroll, inv_steps=inv_steps)

@@ -31,7 +31,7 @@ from ..config import (
     default_hyperprior_params,
 )
 from ..models import gibbs
-from ..models.convergence import ConvergenceTracker
+from ..models.convergence import VectorConvergenceTracker
 from ..models.map_estimate import compute_map
 from ..utils.logging import RunLogger
 from . import chains as chains_mod
@@ -63,6 +63,19 @@ class _ChainView:
             raise ValueError(
                 "per-chain MAP not computed yet; call ensemble.run() first")
         return self.MAP
+
+    def assign_signatures_ensemble(self, reference_P="cosmic", idxs=None,
+                                   credible_interval=0.95):
+        from ..utils.postprocessing import assign_signatures_ensemble
+
+        return assign_signatures_ensemble(
+            self, reference_P=reference_P, idxs=idxs,
+            credible_interval=credible_interval)
+
+    def summary(self, reference_P="cosmic"):
+        from ..utils.postprocessing import sampler_summary
+
+        return sampler_summary(self, reference_P=reference_P)
 
     def _gather_window(self, end_iter: int, n_samples: int):
         lo = end_iter - n_samples + 1
@@ -106,6 +119,7 @@ class ChainEnsemble:
         overwrite: bool = False,
         verbosity: int = 1,
         periodic_save: bool = True,
+        A_masks=None,
     ):
         self.row_names = None
         self.col_names = None
@@ -130,6 +144,25 @@ class ChainEnsemble:
             rank_method=rank_method,
         )
         self.cc = convergence_control or ConvergenceControl()
+        # Optional per-chain FIXED inclusion masks (n_chains, N): chain c
+        # samples a rank-sum(A_masks[c]) model; excluded columns keep drawing
+        # from the prior exactly like the reference's A_n = 0 dispatch
+        # (sample_Pn.R:12-13), so each chain's included-column posterior is
+        # identical in distribution to a dedicated rank-k fit. This is the
+        # engine of the parallel min-BIC rank search (fit(rank_method='BIC')):
+        # every candidate rank runs simultaneously in the ONE vmapped device
+        # program instead of the reference's serial lapply (bayesNMF.R:67-105).
+        self.A_masks = None
+        if A_masks is not None:
+            if learning_rank:
+                raise ValueError(
+                    "A_masks fixes per-chain ranks; incompatible with a "
+                    "learned rank (pass a scalar rank = max candidate rank)")
+            self.A_masks = np.asarray(A_masks, np.float32)
+            if self.A_masks.shape != (n_chains, N):
+                raise ValueError(
+                    f"A_masks must have shape ({n_chains}, {N}), got "
+                    f"{self.A_masks.shape}")
         self.n_chains = n_chains
         self.post_warmup = (post_warmup if post_warmup is not None
                             else 2 * self.cc.MAP_over) if MH else 0
@@ -160,7 +193,9 @@ class ChainEnsemble:
         self._attach_mesh(mesh)
         self.states = self._init_states(jax.random.PRNGKey(seed))
 
-        self.trackers = [ConvergenceTracker(self.cc) for _ in range(n_chains)]
+        # vectorized over chains: one (C,)-array tracker, not C objects —
+        # O(1) numpy ops per chunk even at thousands of vmapped chains
+        self.tracker = VectorConvergenceTracker(self.cc, n_chains)
         self.iter = 1
         # per-chain iteration at which the inference phase ends
         self._end_iter = np.full(n_chains, -1, np.int64)
@@ -190,15 +225,25 @@ class ChainEnsemble:
 
     def _init_states(self, key):
         if self._init_fn is not None:
-            return self._init_fn(self.hp, self.data, key)
-        return chains_mod.init_chain_states(
-            self.spec, self.hp, self.data, key, self.n_chains)
+            states = self._init_fn(self.hp, self.data, key)
+        else:
+            states = chains_mod.init_chain_states(
+                self.spec, self.hp, self.data, key, self.n_chains)
+        if self.A_masks is not None:
+            # fixed per-chain inclusion: A never updates (learning_rank is
+            # False), so setting it once pins each chain's rank for the run
+            states["params"]["A"] = jax.device_put(
+                jnp.asarray(self.A_masks),
+                states["params"]["A"].sharding)
+            states["params"]["R"] = jax.device_put(
+                jnp.asarray(self.A_masks.sum(axis=1), jnp.int32),
+                states["params"]["R"].sharding)
+        return states
 
     # ------------------------------------------------------------------
 
     def _accept_all_vec(self):
-        return jnp.asarray(
-            [self.spec.MH and not t.converged for t in self.trackers], bool)
+        return jnp.asarray(self.spec.MH & ~self.tracker.converged)
 
     def _run_chunk(self, steps: int):
         temps = jnp.asarray(
@@ -238,14 +283,13 @@ class ChainEnsemble:
         temps_all_one = bool(np.all(
             self.temp_sched[max(self.iter - self.cc.MAP_over, 1):
                             self.iter + 1] == 1.0))
-        for c, t in enumerate(self.trackers):
-            was = t.converged
-            t.update(float(vals[c]), self.iter, temps_all_one)
-            if t.converged and not was:
-                self._end_iter[c] = self.iter + self.post_warmup
-                self.logger.log(
-                    f"chain {c} converged at {self.iter} due to {t.why}", 1)
-        n_conv = sum(t.converged for t in self.trackers)
+        newly = self.tracker.update(vals, self.iter, temps_all_one)
+        self._end_iter[newly] = self.iter + self.post_warmup
+        for c in np.nonzero(newly)[0]:
+            self.logger.log(
+                f"chain {c} converged at {self.iter} due to "
+                f"{self.tracker.why(c)}", 1)
+        n_conv = int(self.tracker.converged.sum())
         self.logger.log(
             f"iter = {self.iter}: {n_conv}/{self.n_chains} chains "
             "converged", 1)
@@ -261,9 +305,8 @@ class ChainEnsemble:
         hard_stop = cc.maxiters + self.post_warmup
 
         def all_done():
-            return all(
-                t.converged and (self._end_iter[c] <= self.iter)
-                for c, t in enumerate(self.trackers))
+            return bool(np.all(self.tracker.converged
+                               & (self._end_iter <= self.iter)))
 
         while self.iter < hard_stop and not all_done():
             boundary = ((self.iter // cc.MAP_every) + 1) * cc.MAP_every
@@ -384,6 +427,27 @@ class ChainEnsemble:
             drop=True)
 
     # ------------------------------------------------------------------
+
+    def bic_table(self):
+        """Per-chain BIC over each chain's final MAP_over-iteration window:
+        BIC = -2*mean(loglik) + n_params*log(G), the same statistic the
+        reference's min-BIC driver reads from MAP_metrics (bayesNMF.R:95-97 /
+        update_MAP_metrics_, utils.R:381-388). Returns a DataFrame sorted by
+        BIC with one row per chain (columns: chain, rank, BIC, loglik)."""
+        import pandas as pd
+
+        win = self._metrics_tail(self.cc.MAP_over)  # (C, S, m)
+        mean_ll = np.nanmean(win[:, :, 3], axis=1)
+        n_params = win[:, -1, 5]  # sum(A)*(G+K); constant when A is fixed
+        ranks = win[:, -1, 7]
+        bic = -2.0 * mean_ll + n_params * np.log(self.spec.G)
+        df = pd.DataFrame({
+            "chain": np.arange(self.n_chains),
+            "rank": ranks.astype(int),
+            "BIC": bic,
+            "loglik": mean_ll,
+        })
+        return df.sort_values("BIC").reset_index(drop=True)
 
     @property
     def learned_ranks(self):

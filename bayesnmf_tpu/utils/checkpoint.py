@@ -62,6 +62,7 @@ def save_ensemble(ens, path: str):
         "n_chains": ens.n_chains,
         "post_warmup": ens.post_warmup,
         "store_E": ens.store_E,
+        "A_masks": ens.A_masks,
         "seed": ens.seed,
         "periodic_save": ens.periodic_save,
         "temp_sched": ens.temp_sched,
@@ -69,7 +70,7 @@ def save_ensemble(ens, path: str):
         "data": np.asarray(ens._data_np),
         "states": _to_host(ens.states),
         "iter": ens.iter,
-        "trackers": [t.to_dict() for t in ens.trackers],
+        "tracker_vec": ens.tracker.to_dict(),
         "end_iter": ens._end_iter,
         "window": [_to_host(c) for c in ens._window],
         "metric_rows": ens._metric_rows,
@@ -87,7 +88,6 @@ def save_ensemble(ens, path: str):
 def load_ensemble(cls, path: str, mesh=None):
     import jax.numpy as jnp
 
-    from ..models.convergence import ConvergenceTracker
     from .logging import RunLogger
 
     with open(path, "rb") as fh:
@@ -98,6 +98,7 @@ def load_ensemble(cls, path: str, mesh=None):
     obj.n_chains = p["n_chains"]
     obj.post_warmup = p["post_warmup"]
     obj.store_E = p["store_E"]
+    obj.A_masks = p.get("A_masks")
     obj.seed = p["seed"]
     obj.periodic_save = p["periodic_save"]
     obj.temp_sched = p["temp_sched"]
@@ -111,11 +112,14 @@ def load_ensemble(cls, path: str, mesh=None):
         obj.states = jax.device_put(
             obj.states, M.state_shardings(obj.spec, mesh, chains=True))
     obj.iter = p["iter"]
-    obj.trackers = []
-    for td in p["trackers"]:
-        t = ConvergenceTracker(obj.cc)
-        t.restore(td)
-        obj.trackers.append(t)
+    from ..models.convergence import VectorConvergenceTracker
+
+    if "tracker_vec" in p:
+        obj.tracker = VectorConvergenceTracker(obj.cc, obj.n_chains)
+        obj.tracker.restore(p["tracker_vec"])
+    else:  # legacy checkpoints: list of per-chain scalar-tracker dicts
+        obj.tracker = VectorConvergenceTracker.from_scalar_dicts(
+            obj.cc, p["trackers"])
     obj._end_iter = p["end_iter"]
     # window chunks stay host-side numpy; downstream consumers
     # (jnp.concatenate / slicing) accept either

@@ -15,6 +15,8 @@ Other modes (each prints one JSON line per config):
   --config 5   many-chain x large-G throughput on one chip (metrics-only
                recording; the full 256x100k config is a multi-host pod
                target — see BENCH_NOTES.md for the virtual-mesh scaling table)
+  --bic        parallel (one vmapped program) vs serial min-BIC rank-search
+               wall-clock speedup at 8 candidate ranks, 96x500
   --chains N   N-chain throughput at config-2 size
   --scaling    chain-scaling efficiency on a virtual CPU mesh (run with
                JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)
@@ -313,6 +315,47 @@ def config5(n_chains=64, G_big=25000):
             "unit": "chain-iterations/sec/chip", "vs_baseline": None}
 
 
+def bench_bic(ranks=range(1, 9), K=96, G=500):
+    """Parallel vs serial min-BIC rank search wall-clock (warm programs).
+
+    The parallel search runs every candidate rank as one vmapped device
+    program (fixed per-chain inclusion masks — models/sampler.py::fit);
+    the serial path is the reference's per-rank loop (bayesNMF.R:67-105).
+    Both fit the same data with the same convergence control; wall-clock
+    excludes first-compile (each mode is run twice, second timed).
+    """
+    import pandas as pd
+
+    from bayesnmf_tpu.config import ConvergenceControl
+    from bayesnmf_tpu.models.sampler import fit
+
+    data = _sim_data(seed=0, K=K, N=4, G=G)
+    cc = ConvergenceControl(MAP_over=200, MAP_every=100, miniters=400,
+                            maxiters=800, Ninarow_nochange=3,
+                            Ninarow_nobest=5)
+
+    def run(parallel, seed):
+        t0 = time.perf_counter()
+        out = fit(data, list(ranks), likelihood="poisson",
+                  prior="truncnormal", MH=True, rank_method="BIC",
+                  convergence_control=cc, output_dir=None,
+                  parallel_bic=parallel, seed=seed, post_warmup=200)
+        return out, time.perf_counter() - t0
+
+    run(True, 0)           # compile
+    out_p, t_par = run(True, 1)
+    run(False, 0)          # compile (all rank programs)
+    out_s, t_ser = run(False, 1)
+    assert out_p["best_rank"] == out_s["best_rank"], (
+        out_p["best_rank"], out_s["best_rank"])
+    return {"metric": f"bic_search_{len(list(ranks))}ranks_{K}x{G}_speedup",
+            "value": round(t_ser / t_par, 2), "unit": "x vs serial loop",
+            "vs_baseline": None,
+            "parallel_seconds": round(t_par, 2),
+            "serial_seconds": round(t_ser, 2),
+            "best_rank": int(out_p["best_rank"])}
+
+
 def bench_chains(n_chains: int, iters: int = 100):
     """Multi-chain throughput (chain-iterations/sec) at config-2 size."""
     import jax
@@ -403,6 +446,9 @@ def main():
             "metric": f"chain_iters_per_sec_{n}chains_96x500_K8_MH",
             "value": round(cips, 2), "unit": "chain-iterations/sec/chip",
             "vs_baseline": None}))
+        return
+    if "--bic" in sys.argv:
+        print(json.dumps(bench_bic()))
         return
     if "--scaling" in sys.argv:
         for row in bench_scaling():

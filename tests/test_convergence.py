@@ -80,3 +80,58 @@ def test_nan_resets_counters():
     assert t.inarow_no_change == 1
     t.update(math.nan, 300, True)
     assert t.inarow_no_change == 0 and t.inarow_na == 1
+
+
+def test_vector_tracker_matches_scalar():
+    """VectorConvergenceTracker over C chains must reproduce C independent
+    scalar trackers on identical metric streams, including the NA branch,
+    the gates, and the converged/why bookkeeping."""
+    import numpy as np
+
+    from bayesnmf_tpu.models.convergence import VectorConvergenceTracker
+
+    rng = np.random.default_rng(0)
+    C, checks = 32, 25
+    control = cc(miniters=300, maxiters=2000, Ninarow_nochange=3,
+                 Ninarow_nobest=4)
+    streams = 100.0 + np.cumsum(rng.normal(0, 0.2, (checks, C)), axis=0)
+    # inject plateaus (no-change), rises (no-best), and NaNs
+    streams[10:14, : C // 2] = streams[9, : C // 2]
+    streams[5, C // 2:] = np.nan
+    scalars = [ConvergenceTracker(control) for _ in range(C)]
+    vec = VectorConvergenceTracker(control, C)
+    for i in range(checks):
+        it = (i + 1) * 100
+        gate = it >= 400
+        for c in range(C):
+            if not scalars[c].converged:
+                scalars[c].update(float(streams[i, c]), it, gate)
+        vec.update(streams[i], it, gate)
+    for c in range(C):
+        s = scalars[c]
+        assert vec.converged[c] == s.converged, c
+        if s.converged:
+            assert vec.converged_iter[c] == s.converged_iter, c
+            assert vec.why(c) == s.why, c
+        else:
+            assert vec.inarow_no_change[c] == s.inarow_no_change, c
+            assert vec.inarow_no_best[c] == s.inarow_no_best, c
+            assert vec.inarow_na[c] == s.inarow_na, c
+
+
+def test_vector_tracker_scales_to_thousands():
+    import time
+
+    import numpy as np
+
+    from bayesnmf_tpu.models.convergence import VectorConvergenceTracker
+
+    C = 100_000
+    vec = VectorConvergenceTracker(cc(), C)
+    m = np.full(C, 50.0)
+    t0 = time.perf_counter()
+    for i in range(10):
+        vec.update(m, (i + 1) * 100, True)
+    dt = time.perf_counter() - t0
+    assert vec.converged.all()
+    assert dt < 2.0, f"vector tracker too slow at 100k chains: {dt:.2f}s"

@@ -48,6 +48,22 @@ def test_gamma_and_invgamma_moments():
     np.testing.assert_allclose(ig.mean(), b / (a - 1), rtol=2e-2)
 
 
+def test_gamma_ks_all_regimes():
+    """The Marsaglia-Tsang sampler (pre-drawn candidate rounds + while_loop
+    fallback) is exact across the boost (a<1), small-a, and large-a regimes."""
+    for i, a in enumerate((0.4, 1.0, 2.5, 40.0)):
+        g = np.asarray(d.gamma(key(40 + i), jnp.float32(a), jnp.float32(1.5),
+                               (30_000,)))
+        assert np.isfinite(g).all() and (g > 0).all()
+        stat, p = st.kstest(g, st.gamma(a, scale=1.0 / 1.5).cdf)
+        assert p > 1e-3, (a, stat, p)
+    # heterogeneous shapes in one call (the conjugate-update usage pattern)
+    shapes = jnp.asarray([0.5, 1.0, 7.0, 120.0], jnp.float32)
+    g = np.asarray(d.gamma(key(50), shapes[None, :], jnp.float32(1.0),
+                           (50_000, 4)))
+    np.testing.assert_allclose(g.mean(axis=0), np.asarray(shapes), rtol=3e-2)
+
+
 def test_exponential_moments():
     x = np.asarray(d.exponential(key(6), jnp.float32(2.5), (100_000,)))
     np.testing.assert_allclose(x.mean(), 1 / 2.5, rtol=2e-2)

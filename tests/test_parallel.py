@@ -61,7 +61,7 @@ def test_chain_ensemble_end_to_end():
                         prior="exponential", MH=False,
                         convergence_control=cc, seed=0)
     ens.run()
-    assert all(t.converged for t in ens.trackers)
+    assert ens.tracker.converged.all()
     assert all(m_ is not None for m_ in ens.MAP_per_chain)
     assert ens.throughput() > 0
     # each chain recovers a 3-column MAP

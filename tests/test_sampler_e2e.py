@@ -130,10 +130,38 @@ def test_fit_bic_rank_selection(tmp_path):
                             maxiters=60, Ninarow_nochange=2, Ninarow_nobest=3)
     out = fit(M, [1, 2, 3], likelihood="poisson", prior="exponential",
               MH=False, rank_method="BIC", convergence_control=cc,
-              output_dir=str(tmp_path / "bic"), seed=3)
+              output_dir=str(tmp_path / "bic"), seed=3, parallel_bic=False)
     assert set(out.keys()) == {"results", "best_rank", "sampler"}
     assert out["results"][0]["BIC"] == min(r["BIC"] for r in out["results"])
     assert out["best_rank"] in (1, 2, 3)
+
+
+def test_fit_bic_parallel(tmp_path):
+    """The vmapped min-BIC search: every candidate rank as one device
+    program via fixed per-chain A masks (vs the reference's serial lapply,
+    bayesNMF.R:67-105)."""
+    M, _, _ = sim_data(seed=11, N=2, K=12, G=16, scale=80.0)
+    cc = ConvergenceControl(MAP_over=20, MAP_every=10, miniters=20,
+                            maxiters=60, Ninarow_nochange=2, Ninarow_nobest=3)
+    out = fit(M, [1, 2, 3], likelihood="poisson", prior="exponential",
+              MH=False, rank_method="BIC", convergence_control=cc,
+              output_dir=str(tmp_path / "bicp"), seed=3)
+    assert {"results", "best_rank", "sampler", "ensemble"} <= set(out.keys())
+    assert out["results"][0]["BIC"] == min(r["BIC"] for r in out["results"])
+    assert out["best_rank"] in (1, 2, 3)
+    ens = out["ensemble"]
+    # the masks pinned each chain's rank for the whole run
+    np.testing.assert_array_equal(
+        np.asarray(ens.states["params"]["A"]),
+        np.array([[1, 0, 0], [1, 1, 0], [1, 1, 1]], np.float32))
+    # per-chain metrics report the masked rank every iteration
+    ranks_hist = np.concatenate(ens._metric_rows, axis=1)[:, :, 7]
+    np.testing.assert_array_equal(ranks_hist[:, -1], [1.0, 2.0, 3.0])
+    # the true rank (2) should beat rank 1 decisively on BIC for this data
+    table = ens.bic_table().set_index("rank")
+    assert table.loc[2, "BIC"] < table.loc[1, "BIC"]
+    # the returned best-chain view supports the postprocessing entry points
+    assert out["sampler"].MAP is not None
 
 
 def test_get_map_custom_window():
