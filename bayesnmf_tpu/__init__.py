@@ -16,7 +16,7 @@ from .config import (  # noqa: F401
     default_MH,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def new_convergence_control(**kw):

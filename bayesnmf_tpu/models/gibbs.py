@@ -141,13 +141,16 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
 
     acc_P = state.get("acc_P")
     acc_E = state.get("acc_E")
-    fused = (spec.fused_sweeps and isinstance(accept_all, bool)
-             and not (spec.likelihood == "poisson" and not spec.MH))
+    # fused_sweeps implies the poisson+MH family (config validation); the
+    # accept-all flag is a kernel operand, so a traced per-chain flag (vmapped
+    # ensembles) takes the fused path too — vmap adds a grid dimension over
+    # chains to the one Pallas kernel.
+    fused = spec.fused_sweeps
     if spec.likelihood == "poisson" and not spec.MH:
         params["P"] = U.sample_P_poisson_gibbs(spec, prior, params, k_P)
         params["E"] = U.sample_E_poisson_gibbs(spec, prior, params, params["P"], k_E)
         Mh = m.mhat(params["P"], params["A"], params["E"])
-    elif spec.fused_sweeps and isinstance(accept_all, bool):
+    elif fused:
         from ..ops.pallas_sweeps import fused_gibbs_sweeps
 
         tiny = jnp.float32(1.2e-38)

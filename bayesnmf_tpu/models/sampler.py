@@ -598,25 +598,35 @@ def fit(
         output_dir = f"nmf_{likelihood}_{prior}"
     learning = not isinstance(rank, (int, np.integer)) and len(list(rank)) > 1
     if learning and rank_method == "BIC" and parallel_bic:
+        import inspect
+
         from ..parallel.ensemble import ChainEnsemble
 
-        ranks = sorted(int(r) for r in rank)
-        N = max(ranks)
-        masks = np.zeros((len(ranks), N), np.float32)
-        for c, k in enumerate(ranks):
-            masks[c, :k] = 1.0
-        ens = ChainEnsemble(
-            data, N, n_chains=len(ranks), likelihood=likelihood, prior=prior,
-            MH=MH, convergence_control=convergence_control,
-            output_dir=output_dir, A_masks=masks, **kw)
-        ens.run()
-        table = ens.bic_table()
-        results = [{"rank": int(r["rank"]), "chain": int(r["chain"]),
-                    "BIC": float(r["BIC"]), "time": ens.time["total"]}
-                   for _, r in table.iterrows()]
-        best_chain = int(table.iloc[0]["chain"])
-        return {"results": results, "best_rank": int(table.iloc[0]["rank"]),
-                "sampler": ens.chain(best_chain), "ensemble": ens}
+        # GibbsSampler-only kwargs (e.g. save_all_samples, mesh G-sharding)
+        # silently route to the serial per-rank loop instead of raising a
+        # TypeError from the ensemble pass-through — drop-in compatibility
+        # with the reference's bayesNMF(rank_method='BIC') surface.
+        supported = set(inspect.signature(ChainEnsemble.__init__).parameters)
+        if all(k in supported for k in kw):
+            ranks = sorted(int(r) for r in rank)
+            N = max(ranks)
+            masks = np.zeros((len(ranks), N), np.float32)
+            for c, k in enumerate(ranks):
+                masks[c, :k] = 1.0
+            ens = ChainEnsemble(
+                data, N, n_chains=len(ranks), likelihood=likelihood,
+                prior=prior, MH=MH, convergence_control=convergence_control,
+                output_dir=output_dir, A_masks=masks, **kw)
+            ens.run()
+            table = ens.bic_table()
+            results = [{"rank": int(r["rank"]), "chain": int(r["chain"]),
+                        "dir": ens.output_dir, "BIC": float(r["BIC"]),
+                        "time": ens.time["total"]}
+                       for _, r in table.iterrows()]
+            best_chain = int(table.iloc[0]["chain"])
+            return {"results": results,
+                    "best_rank": int(table.iloc[0]["rank"]),
+                    "sampler": ens.chain(best_chain), "ensemble": ens}
     if learning and rank_method == "BIC":
         results = []
         best = None

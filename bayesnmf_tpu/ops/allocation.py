@@ -71,13 +71,15 @@ def allocate_counts(key, M, P, A, E):
     counts = jnp.where(zero_cell[None], 0.0, counts)
 
     n_levels = len(levels) - 1
-    keys = jax.random.split(key, max(n_levels, 1))
+    # Distinct streams for the two consumers (threefry key-reuse
+    # anti-pattern: split(key) shares bits with uniform(key)'s stream).
+    keys = jax.random.split(jax.random.fold_in(key, 1), max(n_levels, 1))
     # ONE uniform launch covers every level of the conditional-binomial tree
     # (n2 - 1 internal nodes total); per-level slices index it by node offset.
     UNROLL = 8
     u_tree = jax.random.uniform(
-        key, (2 * UNROLL + 1, max(n2 - 1, 1), K, G), jnp.float32,
-        minval=jnp.float32(1.2e-38))
+        jax.random.fold_in(key, 0), (2 * UNROLL + 1, max(n2 - 1, 1), K, G),
+        jnp.float32, minval=jnp.float32(1.2e-38))
     node_off = 0
     for li in range(n_levels - 1, -1, -1):
         w_child = levels[li]          # (2m, K, G)

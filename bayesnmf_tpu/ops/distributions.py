@@ -124,6 +124,14 @@ def gamma(key, shape_param, rate, shape=None, unroll: int = 4):
         g = jnp.where(~done & ok, gv, g)
         done = done | ok
 
+    # A non-finite or non-positive shape param makes the acceptance test
+    # permanently false (NaN comparisons), which would spin the exact-fallback
+    # while_loop forever and deadlock the whole device program. Mark such
+    # elements done up front; they keep the NaN result, which the NA_events
+    # observability downstream can see (a transient overflow in a sampled
+    # shape like a + Alpha_p must surface as data, not a hang).
+    done = done | ~jnp.isfinite(d) | (a <= 0.0)
+
     def cond(carry):
         done, _, _ = carry
         return ~jnp.all(done)
@@ -394,9 +402,13 @@ def binomial_from_u(u_all, key_fb, n, p, unroll: int = 8,
         k_acc = jnp.where(~done & ok, k, k_acc)
         return done | ok, k_acc, kk
 
-    # treat small-regime elements as already done so they never gate the loop
+    # treat small-regime elements as already done so they never gate the
+    # loop; same for non-finite n/p, whose acceptance test is permanently
+    # false (NaN comparisons) and would deadlock the fallback loop — they
+    # yield 0 from the inversion path, and upstream NaN state is already
+    # surfaced via the NA_events metric
     done, k_acc, _ = jax.lax.while_loop(
-        cond, body, (done | small, k_acc, key_fb))
+        cond, body, (done | small | ~jnp.isfinite(np_), k_acc, key_fb))
 
     y = jnp.where(small, x_inv, k_acc)
     return jnp.where(flip, n - y, y)

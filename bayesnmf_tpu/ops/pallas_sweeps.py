@@ -73,7 +73,7 @@ def _tn_logpdf(x, mu, var):
             - ps.log_ndtr(mu / sd))
 
 
-def _sweep_kernel(prior_kind, exact_mh, accept_all, N, rank_method,
+def _sweep_kernel(prior_kind, exact_mh, N, rank_method,
                   M_ref, P_in, E_in, A_in, Mh_in, aP_in, aE_in,
                   UprP_ref, UprE_ref, UpP_ref, UaP_ref, UpE_ref, UaE_ref,
                   hp0_p, hp1_p, hp0_e, hp1_e, rank_in,
@@ -82,9 +82,16 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N, rank_method,
     """One fused Gibbs iteration core: P-sweep + E-sweep, and (when
     ``rank_method`` is set) the rank draw R + the inclusion sweep over A.
     hp*_p/_e are (Mu, Sigmasq) for the truncnormal prior or (Lambda, unused)
-    for the exponential prior. ``rank_in`` packs, when rank learning:
-      row 0: temperature (broadcast), row 1: Gumbel noise for the R
-      categorical (N+1 entries), row 2: uniforms for the N Bernoulli A draws.
+    for the exponential prior. ``rank_in`` packs:
+      row 0: [temperature, accept_all_flag, 0...], row 1: Gumbel noise for
+      the R categorical (N+1 entries), row 2: uniforms for the N Bernoulli A
+      draws (rows 1-2 all-zero when not rank learning).
+
+    The accept-all warmup flag is DATA (an operand), not a trace-time
+    constant: per-chain flags in a vmapped ensemble are a traced vector (each
+    chain flips from warmup accept-all to true MH at its own convergence), so
+    a static flag would lock ensembles out of this kernel entirely — the one
+    capability axis the reference lacks (advanced.qmd:56).
     """
     M = M_ref[:]
     P_out[:] = P_in[:]
@@ -95,6 +102,7 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N, rank_method,
     A_out[:] = A_in[:]
     rank_out[:] = rank_in[:]
     A_ref = A_out
+    acc_on = rank_in[0, 1] > 0.0
 
     def mh_column(Mh, old, other, A_n, Mu_n, Sq_n, Lam_n, u_prop, u_acc,
                   u_prior, axis):
@@ -168,12 +176,8 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N, rank_method,
         nan_mask = jnp.isnan(ratio_raw)
         n_nan = jnp.sum(nan_mask.astype(jnp.float32))
         ratio = jnp.where(nan_mask, 0.0, ratio_raw)
-        if accept_all:
-            take = jnp.ones_like(ratio, bool)
-            rec = jnp.ones_like(ratio)
-        else:
-            take = u_acc < ratio
-            rec = ratio
+        take = acc_on | (u_acc < ratio)
+        rec = jnp.where(acc_on, 1.0, ratio)
         mh_val = jnp.where(take, proposal, old)
         new_val = jnp.where(A_n == 0.0, prior_draw, mh_val)
         Mh_new = Mh + A_n * ((new_val - old) * other)
@@ -273,11 +277,11 @@ def _sweep_kernel(prior_kind, exact_mh, accept_all, N, rank_method,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("prior_kind", "exact_mh", "accept_all", "rank_method"))
+    static_argnames=("prior_kind", "exact_mh", "rank_method"))
 def fused_gibbs_sweeps(data, P, E, A, Mhat, acc_P, acc_E,
                        Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E,
                        hp0_p, hp1_p, hp0_e, hp1_e, rank_pack,
-                       prior_kind: str, exact_mh: bool, accept_all: bool,
+                       prior_kind: str, exact_mh: bool, accept_all,
                        rank_method):
     """Run the Gibbs iteration core — both MH sweeps, plus the rank draw R
     and inclusion sweep A when ``rank_method`` is 'SBFI'/'BFI' — in ONE
@@ -293,11 +297,18 @@ def fused_gibbs_sweeps(data, P, E, A, Mhat, acc_P, acc_E,
     jax.random.uniform call (RNG launches, not FLOPs, dominate a
     small-problem iteration).
 
+    ``accept_all`` may be a Python bool OR a traced boolean scalar — it rides
+    into the kernel as data at rank_pack[0, 1], so vmapping this function
+    over a chain axis (per-chain warmup flags) adds one grid dimension
+    instead of forcing the slow path.
+
     Returns (P, E, Mhat, acc_P, acc_E, A, R_float, nan_count).
     """
     K, N = P.shape
     G = E.shape[1]
-    kern = functools.partial(_sweep_kernel, prior_kind, exact_mh, accept_all,
+    rank_pack = rank_pack.at[0, 1].set(
+        jnp.asarray(accept_all, jnp.float32).reshape(()))
+    kern = functools.partial(_sweep_kernel, prior_kind, exact_mh,
                              N, rank_method)
     out_shapes = [
         jax.ShapeDtypeStruct((K, N), jnp.float32),   # P

@@ -173,9 +173,17 @@ def ensemble_diagnostics(ensemble, metrics=("logposterior", "loglikelihood",
 
     from ..models.gibbs import METRIC_NAMES
 
-    rows_all = np.concatenate(ensemble._metric_rows, axis=1)  # (C, T, m)
-    if n_draws is not None:
-        rows_all = rows_all[:, -n_draws:, :]
+    if n_draws is not None and hasattr(ensemble, "metrics_stack"):
+        # each chain's OWN inference window (chains finish at different
+        # iterations under compaction; aligning on windows, not global
+        # iteration numbers, is what cross-chain R-hat wants anyway)
+        rows_all = ensemble.metrics_stack(n_draws)  # (C, n_draws, m)
+        keep = ~np.all(np.isnan(rows_all[:, :, 0]), axis=0)
+        rows_all = rows_all[:, keep, :]
+    else:
+        rows_all = np.concatenate(ensemble._metric_rows, axis=1)  # (C, T, m)
+        if n_draws is not None:
+            rows_all = rows_all[:, -n_draws:, :]
     out = []
     name_to_col = {n: i for i, n in enumerate(METRIC_NAMES)}
     for name in metrics:

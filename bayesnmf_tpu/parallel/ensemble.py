@@ -9,9 +9,22 @@ convergence is tracked host-side from the vectorized metric outputs.
 
 First-class driver features (same surface as models/sampler.GibbsSampler):
 logging to ``output_dir/log.txt``, periodic checkpoint + bit-exact resume
-(utils/checkpoint.py), and postprocessing entry points — per-chain COSMIC
-assignment via the same cosine-weighted Hungarian voting the single-chain
-path uses (postprocessing.R:175-341) plus pooled cross-chain summaries.
+(utils/checkpoint.py), hyperprior/init overrides (bayesNMF.R:35-37 contract),
+full posterior histories (``record_history='full'``), per-chain credible
+intervals, and postprocessing entry points — per-chain COSMIC assignment via
+the same cosine-weighted Hungarian voting the single-chain path uses
+(postprocessing.R:175-341) plus pooled cross-chain summaries.
+
+Two throughput mechanisms the single-chain path lacks:
+  - the fused Pallas sweep kernel batches over the chain axis (the per-chain
+    warmup accept flag is a kernel operand, so one kernel grid covers chains
+    in both phases; ``fused_sweeps=True``);
+  - **live-chain compaction**: once a chain has finished its inference window
+    (its ``_end_iter``), its MAP/CIs/sample window are finalized to host
+    memory and the device ensemble is compacted to the still-running chains
+    (power-of-two buckets, so at most log2(C) program sizes ever compile) —
+    converged chains stop consuming device iterations instead of idling
+    until the slowest chain finishes.
 """
 
 from __future__ import annotations
@@ -37,17 +50,94 @@ from ..utils.logging import RunLogger
 from . import chains as chains_mod
 
 
+class _ViewTracker:
+    """Per-chain convergence facts for a _ChainView (summarize_samplers and
+    the trace plots read ``.converged`` / ``.converged_iter`` / ``.why``)."""
+
+    def __init__(self, ens: "ChainEnsemble", chain: int):
+        self._ens = ens
+        self._c = chain
+
+    @property
+    def converged(self):
+        return bool(self._ens.tracker.converged[self._c])
+
+    @property
+    def converged_iter(self):
+        it = int(self._ens.tracker.converged_iter[self._c])
+        return it if it >= 0 else None
+
+    @property
+    def why(self):
+        return self._ens.tracker.why(self._c)
+
+
 class _ChainView:
-    """Single-chain adapter over an ensemble: quacks enough like a
-    GibbsSampler (spec/MAP/_gather_window/reference_comparison) for the
-    shared postprocessing machinery to run unchanged per chain."""
+    """Single-chain adapter over an ensemble: exposes the GibbsSampler
+    surface the shared postprocessing + plotting machinery consumes (spec,
+    data, MAP, credible_intervals, samples, sample_metrics, _gather_window,
+    reference_comparison), so ``plot_sig(fit(...)["sampler"], 1)`` etc. work
+    on the parallel-BIC result exactly as on a serial fit
+    (bayesNMF.R:117-126 returns the winner's full sampler)."""
 
     def __init__(self, ensemble: "ChainEnsemble", chain: int):
         self._ens = ensemble
         self.chain = chain
         self.spec = ensemble.spec
+        self.cc = ensemble.cc
         self.row_names = getattr(ensemble, "row_names", None)
-        self.MAP = ensemble.MAP_per_chain[chain]
+        self.col_names = getattr(ensemble, "col_names", None)
+        self.temp_sched = ensemble.temp_sched
+        self.tracker = _ViewTracker(ensemble, chain)
+        self.MAP_metrics: list = []  # per-check MAP metrics are not kept
+        # per chain in an ensemble; trace_plot falls back to sample metrics
+        self._archive = None  # ensembles keep windows, not full archives
+
+    # -- MAP ------------------------------------------------------------
+
+    @property
+    def MAP(self):
+        return self._ens.MAP_per_chain[self.chain]
+
+    @MAP.setter
+    def MAP(self, value):
+        self._ens.MAP_per_chain[self.chain] = value
+
+    @property
+    def credible_intervals(self):
+        m = self.MAP
+        return m.get("credible_intervals") if m else None
+
+    def get_MAP(self, end_iter=None, n_samples=None, final=True,
+                credible_interval=0.95):
+        """(Re)compute this chain's MAP over an arbitrary window — honoring
+        the reference's get_MAP(end_iter=, n_samples=) contract
+        (utils.R:194-212); with no arguments returns the finalized MAP."""
+        if end_iter is None and n_samples is None and self.MAP is not None:
+            return self.MAP
+        end = self._end_default() if end_iter is None else int(end_iter)
+        n = min(n_samples or self._ens.cc.MAP_over, end)
+        P_h, E_h, A_h = self._gather_window(end, n)
+        res = compute_map(P_h, E_h, A_h, final=final,
+                          credible_interval=credible_interval,
+                          want_ci=self._ens.want_ci)
+        res["idx"] = np.arange(end - A_h.shape[0] + 1, end + 1)[
+            res["idx_mask"]]
+        res["sig_idx"] = np.arange(len(res["keep_sigs"]))
+        self.MAP = res
+        return res
+
+    def _end_default(self):
+        e = int(self._ens._end_iter[self.chain])
+        return e if 0 < e <= self._ens.iter else self._ens.iter
+
+    @property
+    def iter(self):
+        """Last iteration of this chain's inference phase (the run-end for
+        phase brackets in trace plots)."""
+        return self._end_default()
+
+    # -- shared postprocessing plumbing ---------------------------------
 
     @property
     def reference_comparison(self):
@@ -58,11 +148,54 @@ class _ChainView:
     def reference_comparison(self, value):
         self._ens._reference_comparisons[self.chain] = value
 
-    def get_MAP(self, **kw):
-        if self.MAP is None:
-            raise ValueError(
-                "per-chain MAP not computed yet; call ensemble.run() first")
-        return self.MAP
+    @property
+    def data(self):
+        return self._ens.data
+
+    @property
+    def output_dir(self):
+        return self._ens.output_dir
+
+    @property
+    def time(self):
+        return self._ens.time
+
+    @property
+    def sample_metrics(self):
+        """This chain's per-iteration metrics as a DataFrame
+        (sample_metrics, bayesNMF_sampler.R:190-207). Iterations run after
+        the chain was compacted away are absent (NaN rows dropped)."""
+        import pandas as pd
+
+        rows = self._ens._metrics_all()[self.chain]  # (T, m)
+        rows = rows[~np.isnan(rows[:, 0])]
+        return pd.DataFrame(rows, columns=list(gibbs.METRIC_NAMES))
+
+    @property
+    def samples(self):
+        """This chain's retained sample window as {name: (S, ...)} arrays
+        (P/E/A always; prior params, sigmasq and acceptance histories too
+        under ``record_history='full'`` — bayesNMF_sampler.R:651-672)."""
+        fin = self._ens._final_windows.get(self.chain)
+        if fin is not None:
+            return {k: v for k, v in fin.items() if k != "end_iter"}
+        out: dict = {}
+        for ch in self._ens._window:
+            pos = np.nonzero(ch["chain_ids"] == self.chain)[0]
+            if pos.size == 0:
+                continue
+            s = int(pos[0])
+            for k, v in ch.items():
+                if k in ("start_iter", "chain_ids"):
+                    continue
+                if isinstance(v, dict):  # prior-param subtree
+                    for pk, pv in v.items():
+                        out.setdefault(pk, []).append(np.asarray(pv[s]))
+                else:
+                    out.setdefault(k, []).append(np.asarray(v[s]))
+        if not out:
+            raise ValueError("no retained samples for this chain")
+        return {k: np.concatenate(v) for k, v in out.items()}
 
     def assign_signatures_ensemble(self, reference_P="cosmic", idxs=None,
                                    credible_interval=0.95):
@@ -77,20 +210,40 @@ class _ChainView:
 
         return sampler_summary(self, reference_P=reference_P)
 
+    def save_object(self, path: Optional[str] = None):
+        return self._ens.save_object(path)
+
     def _gather_window(self, end_iter: int, n_samples: int):
+        """Stack this chain's last ``n_samples`` samples ending at
+        ``end_iter`` (finalized host window first, live device chunks else)."""
         lo = end_iter - n_samples + 1
         c = self.chain
+        fin = self._ens._final_windows.get(c)
+        if fin is not None:
+            fe = fin["end_iter"]
+            S = fin["A"].shape[0]
+            i0 = max(S - (fe - lo + 1), 0)
+            i1 = min(S - (fe - end_iter), S)
+            if i1 > i0:
+                E = fin.get("E")
+                return (jnp.asarray(fin["P"][i0:i1]),
+                        jnp.asarray(E[i0:i1]) if E is not None else None,
+                        np.asarray(fin["A"][i0:i1]))
         Ps, Es, As = [], [], []
         for ch in self._ens._window:
+            pos = np.nonzero(ch["chain_ids"] == c)[0]
+            if pos.size == 0:
+                continue
+            slot = int(pos[0])
             n = ch["P"].shape[1]
             s, e = ch["start_iter"], ch["start_iter"] + n - 1
             if e < lo or s > end_iter:
                 continue
             i0, i1 = max(lo - s, 0), min(end_iter - s, n - 1) + 1
-            Ps.append(jnp.asarray(ch["P"][c, i0:i1]))
-            As.append(np.asarray(ch["A"][c, i0:i1]))
+            Ps.append(jnp.asarray(ch["P"][slot, i0:i1]))
+            As.append(np.asarray(ch["A"][slot, i0:i1]))
             if "E" in ch:
-                Es.append(jnp.asarray(ch["E"][c, i0:i1]))
+                Es.append(jnp.asarray(ch["E"][slot, i0:i1]))
         if not Ps:
             raise ValueError("no samples in requested window")
         E = jnp.concatenate(Es) if Es else None
@@ -117,10 +270,20 @@ class ChainEnsemble:
         store_E: bool = True,
         output_dir: Optional[str] = None,
         overwrite: bool = False,
+        hyperprior_params: Optional[dict] = None,
+        init_prior_params: Optional[dict] = None,
+        init_params: Optional[dict] = None,
+        record_history: str = "basic",
+        fused_sweeps: bool = False,
+        want_ci: bool = True,
+        compact: bool = True,
         verbosity: int = 1,
         periodic_save: bool = True,
         A_masks=None,
     ):
+        if record_history not in ("basic", "full"):
+            raise ValueError("record_history must be 'basic' or 'full'")
+        self.record = record_history
         self.row_names = None
         self.col_names = None
         if hasattr(data, "index") and hasattr(data, "columns"):
@@ -138,10 +301,14 @@ class ChainEnsemble:
         N = max(ranks)
         if MH is None:
             MH = default_MH(likelihood, prior)
+        if fused_sweeps and mesh is not None:
+            raise ValueError(
+                "fused_sweeps is a per-chip VMEM-resident kernel; use the "
+                "XLA sweep path for mesh-sharded ensembles")
         self.spec = ModelSpec(
             K=data.shape[0], N=N, G=data.shape[1], likelihood=likelihood,
             prior=prior, MH=MH, learning_rank=learning_rank,
-            rank_method=rank_method,
+            rank_method=rank_method, fused_sweeps=fused_sweeps,
         )
         self.cc = convergence_control or ConvergenceControl()
         # Optional per-chain FIXED inclusion masks (n_chains, N): chain c
@@ -169,6 +336,8 @@ class ChainEnsemble:
         self.store_E = store_E
         self.seed = seed
         self.periodic_save = periodic_save
+        self.want_ci = want_ci
+        self.compact = compact
 
         from ..models.sampler import _resolve_output_dir
 
@@ -187,9 +356,21 @@ class ChainEnsemble:
             sched = np.ones(n_iters, np.float32)
         self.temp_sched = np.concatenate([[np.float32(0)], sched])
 
-        self.hp = default_hyperprior_params(self.spec, float(data.mean()))
+        # hyperprior defaults + user overrides (bayesNMF.R:35-37; setup.R:15-88
+        # merges user values over defaults), same contract as GibbsSampler
+        self.hp = dict(default_hyperprior_params(self.spec, float(data.mean())))
+        if hyperprior_params:
+            self.hp.update(hyperprior_params)
+        if self.spec.likelihood == "normal":
+            ipp = dict(init_prior_params or {})
+            self.hp.setdefault("alpha", ipp.pop("alpha", 3.0))
+            self.hp.setdefault("beta", ipp.pop("beta", 3.0))
+            init_prior_params = ipp
+        self._init_params = init_params
+        self._init_prior_params = init_prior_params
         self.mesh = mesh
         self._data_np = data
+        self._slots = np.arange(n_chains)
         self._attach_mesh(mesh)
         self.states = self._init_states(jax.random.PRNGKey(seed))
 
@@ -199,8 +380,14 @@ class ChainEnsemble:
         self.iter = 1
         # per-chain iteration at which the inference phase ends
         self._end_iter = np.full(n_chains, -1, np.int64)
-        self._window = []      # recent chunks (device)
-        self._metric_rows = []  # list of (C, chunk, n_metrics) host arrays
+        # _slots (set above): original chain ids of the device-resident slots
+        # (compaction shrinks it; chunks/metrics are scattered back to
+        # original positions so all per-chain bookkeeping is id-stable)
+        self._window = []      # recent chunks (device) + chain_ids
+        self._metric_rows = []  # list of (C_orig, chunk, n_metrics), NaN
+        # rows for chains not resident when the chunk ran
+        self._final_windows: dict = {}   # chain -> host sample window
+        self._final_metrics: dict = {}   # chain -> (MAP_over, m) host rows
         self.MAP_per_chain: list = [None] * n_chains
         self._reference_comparisons: dict = {}
         self.time = {}
@@ -214,8 +401,7 @@ class ChainEnsemble:
         if mesh is not None:
             from . import mesh as M
 
-            self._init_fn, self._run_fn = chains_mod.make_sharded_chain_runner(
-                self.spec, mesh, self.n_chains, store_E=self.store_E)
+            self._make_sharded_runner(self._slots.size)
             self.data = jax.device_put(
                 jnp.asarray(self._data_np), M.data_sharding(mesh))
         else:
@@ -223,12 +409,18 @@ class ChainEnsemble:
             self._run_fn = None
             self.data = jnp.asarray(self._data_np)
 
+    def _make_sharded_runner(self, n_resident: int):
+        self._init_fn, self._run_fn = chains_mod.make_sharded_chain_runner(
+            self.spec, self.mesh, n_resident, record=self.record,
+            store_E=self.store_E)
+
     def _init_states(self, key):
         if self._init_fn is not None:
             states = self._init_fn(self.hp, self.data, key)
         else:
             states = chains_mod.init_chain_states(
-                self.spec, self.hp, self.data, key, self.n_chains)
+                self.spec, self.hp, self.data, key, self.n_chains,
+                self._init_params, self._init_prior_params)
         if self.A_masks is not None:
             # fixed per-chain inclusion: A never updates (learning_rank is
             # False), so setting it once pins each chain's rank for the run
@@ -243,7 +435,8 @@ class ChainEnsemble:
     # ------------------------------------------------------------------
 
     def _accept_all_vec(self):
-        return jnp.asarray(self.spec.MH & ~self.tracker.converged)
+        return jnp.asarray(
+            (self.spec.MH & ~self.tracker.converged)[self._slots])
 
     def _run_chunk(self, steps: int):
         temps = jnp.asarray(
@@ -255,21 +448,25 @@ class ChainEnsemble:
         else:
             self.states, samples = chains_mod.run_chunk_chains(
                 self.spec, self.data, self.hp, self.states, temps, acc,
-                store_E=self.store_E)
-        chunk = {"P": samples["P"], "A": samples["A"],
-                 "start_iter": self.iter + 1}
-        if self.store_E:
-            chunk["E"] = samples["E"]
+                record=self.record, store_E=self.store_E)
+        chunk = {k: v for k, v in samples.items() if k != "metrics"}
+        chunk["start_iter"] = self.iter + 1
+        chunk["chain_ids"] = self._slots.copy()
         self._window.append(chunk)
         max_chunks = -(-self.cc.MAP_over // self.cc.MAP_every) + 1
         if len(self._window) > max_chunks:
             self._window.pop(0)
-        self._metric_rows.append(np.asarray(samples["metrics"]))
+        rows = np.full((self.n_chains, steps, gibbs.N_METRICS), np.nan,
+                       np.float32)
+        rows[self._slots] = np.asarray(samples["metrics"])
+        self._metric_rows.append(rows)
         self.iter += steps
 
+    def _metrics_all(self):
+        return np.concatenate(self._metric_rows, axis=1)  # (C, iters, m)
+
     def _metrics_tail(self, n: int):
-        rows = np.concatenate(self._metric_rows, axis=1)  # (C, iters, m)
-        return rows[:, -n:, :]
+        return self._metrics_all()[:, -n:, :]
 
     def _check_convergence(self):
         win = self._metrics_tail(self.cc.MAP_over)
@@ -277,7 +474,11 @@ class ChainEnsemble:
         # reference does (update_MAP_metrics_, utils.R:369-379)
         col = {"loglikelihood": 3, "logposterior": 4, "RMSE": 1, "KL": 2}[
             self.cc.metric]
-        vals = np.nanmean(win[:, :, col], axis=1)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN rows
+            vals = np.nanmean(win[:, :, col], axis=1)
         if self.cc.metric in ("loglikelihood", "logposterior"):
             vals = -vals
         temps_all_one = bool(np.all(
@@ -296,6 +497,117 @@ class ChainEnsemble:
         if self.periodic_save and self.output_dir:
             self.save_object()
 
+    # ------------------------------------------------------------------
+    # finalization + compaction
+    # ------------------------------------------------------------------
+
+    def _finished_mask(self):
+        return self.tracker.converged & (self._end_iter > 0) & (
+            self._end_iter <= self.iter)
+
+    def _finalize_chain(self, c: int):
+        """Snapshot chain ``c``'s inference window (ending at its own
+        ``_end_iter``, the reference's final-MAP window — bayesNMF.R:95-97)
+        to host memory and compute its MAP + credible intervals."""
+        end = int(self._end_iter[c])
+        end = end if 0 < end <= self.iter else self.iter
+        view = _ChainView(self, c)
+        lo = max(end - self.cc.MAP_over + 1, 2)
+        fin: dict = {"end_iter": end}
+        # gather every recorded tensor for this chain over [lo, end]
+        got = 0
+        for ch in self._window:
+            pos = np.nonzero(ch["chain_ids"] == c)[0]
+            if pos.size == 0:
+                continue
+            slot = int(pos[0])
+            n = ch["P"].shape[1]
+            s, e = ch["start_iter"], ch["start_iter"] + n - 1
+            if e < lo or s > end:
+                continue
+            i0, i1 = max(lo - s, 0), min(end - s, n - 1) + 1
+            got += i1 - i0
+            for k, v in ch.items():
+                if k in ("start_iter", "chain_ids"):
+                    continue
+                if isinstance(v, dict):
+                    for pk, pv in v.items():
+                        fin.setdefault(pk, []).append(
+                            np.asarray(pv[slot, i0:i1]))
+                else:
+                    fin.setdefault(k, []).append(np.asarray(v[slot, i0:i1]))
+        if got:
+            fin = {k: (np.concatenate(v) if isinstance(v, list) else v)
+                   for k, v in fin.items()}
+            self._final_windows[c] = fin
+        # metrics over the same window (for bic_table / diagnostics)
+        rows = self._metrics_all()[c]
+        j1 = rows.shape[0] - (self.iter - end)
+        j0 = max(j1 - self.cc.MAP_over, 0)
+        self._final_metrics[c] = rows[j0:j1]
+        try:
+            P_h = jnp.asarray(self._final_windows[c]["P"])
+            E_h = (jnp.asarray(self._final_windows[c]["E"])
+                   if "E" in self._final_windows[c] else None)
+            A_h = self._final_windows[c]["A"]
+            res = compute_map(P_h, E_h, A_h, final=True,
+                              want_ci=self.want_ci)
+            res["idx"] = np.arange(end - A_h.shape[0] + 1, end + 1)[
+                res["idx_mask"]]
+            res["sig_idx"] = np.arange(len(res["keep_sigs"]))
+            self.MAP_per_chain[c] = res
+        except (KeyError, ValueError):
+            # window not retrievable (resumed from a stripped checkpoint):
+            # fall back to whatever live window exists
+            try:
+                view.get_MAP()
+            except ValueError:
+                pass
+
+    def _maybe_compact(self):
+        """Shrink the resident ensemble to the still-running chains.
+
+        Converged-and-finished chains otherwise execute full Gibbs sweeps
+        until the slowest chain finishes (pure waste — with tempered SBFI
+        chains heterogeneous convergence is the normal case). Buckets are
+        powers of two so at most log2(C) distinct program shapes compile.
+        """
+        finished = self._finished_mask()
+        live = np.nonzero(~finished)[0]
+        resident = self._slots.size
+        if live.size == 0 or live.size > resident // 2:
+            return
+        bucket = 1 << int(np.ceil(np.log2(live.size)))
+        if self.mesh is not None:
+            # the chain axis stays sharded: only shrink to multiples of it
+            n_chain_dev = dict(
+                zip(self.mesh.axis_names, self.mesh.devices.shape)).get(
+                    "chain", 1)
+            if bucket % n_chain_dev:
+                bucket = n_chain_dev * (-(-bucket // n_chain_dev))
+            if bucket >= resident:
+                return
+        # pad with finished chains (their extra draws are valid posterior
+        # samples and simply ignored) to fill the power-of-two bucket
+        live_set = set(int(c) for c in live)
+        pad = [int(c) for c in self._slots if int(c) not in live_set]
+        keep_ids = np.concatenate(
+            [live, np.asarray(pad[: bucket - live.size], np.int64)])
+        pos_of = {int(c): i for i, c in enumerate(self._slots)}
+        take = np.asarray([pos_of[int(c)] for c in keep_ids], np.int32)
+        self.states = jax.tree.map(lambda x: x[np.asarray(take)], self.states)
+        self._slots = keep_ids.astype(np.int64)
+        if self._run_fn is not None:
+            from . import mesh as M
+
+            self._make_sharded_runner(self._slots.size)
+            self.states = jax.device_put(
+                self.states,
+                M.state_shardings(self.spec, self.mesh, chains=True))
+        self.logger.log(
+            f"compacted ensemble to {self._slots.size} resident chains "
+            f"({live.size} live)", 1)
+
     def run(self):
         """Run all chains to completion (resumable: continues from the
         current iteration after ``ChainEnsemble.load``); returns self."""
@@ -305,8 +617,7 @@ class ChainEnsemble:
         hard_stop = cc.maxiters + self.post_warmup
 
         def all_done():
-            return bool(np.all(self.tracker.converged
-                               & (self._end_iter <= self.iter)))
+            return bool(np.all(self._finished_mask()))
 
         while self.iter < hard_stop and not all_done():
             boundary = ((self.iter // cc.MAP_every) + 1) * cc.MAP_every
@@ -314,6 +625,13 @@ class ChainEnsemble:
             self._run_chunk(boundary - self.iter)
             if self.iter % cc.MAP_every == 0 or self.iter >= hard_stop:
                 self._check_convergence()
+                finished = self._finished_mask()
+                for c in np.nonzero(finished)[0]:
+                    if c not in self._final_windows and (
+                            self.MAP_per_chain[c] is None):
+                        self._finalize_chain(c)
+                if self.compact:
+                    self._maybe_compact()
         self.time["total"] = self.time.get("total", 0.0) + (
             time.time() - t0) / 60.0
         self.time["iters"] = self.iter
@@ -326,23 +644,13 @@ class ChainEnsemble:
         return self
 
     def _compute_maps(self):
-        Ps = jnp.concatenate([c["P"] for c in self._window], axis=1)
-        As = np.concatenate([np.asarray(c["A"]) for c in self._window], axis=1)
-        Es = (jnp.concatenate([c["E"] for c in self._window], axis=1)
-              if self.store_E else None)
-        S = min(self.cc.MAP_over, Ps.shape[1])
+        """Finalize every chain that still lacks a MAP (end of run: chains
+        that never converged get the global tail window)."""
         for c in range(self.n_chains):
-            P_h = Ps[c, -S:]
-            A_h = As[c, -S:]
-            # store_E=False runs carry no exposure history: the MAP omits E
-            # (signature estimates + assignment remain valid) instead of
-            # fabricating zeros.
-            E_h = Es[c, -S:] if Es is not None else None
-            res = compute_map(P_h, E_h, A_h, final=True, want_ci=False)
-            res["idx"] = np.arange(self.iter - S + 1, self.iter + 1)[
-                res["idx_mask"]]
-            res["sig_idx"] = np.arange(len(res["keep_sigs"]))
-            self.MAP_per_chain[c] = res
+            if self.MAP_per_chain[c] is None:
+                if self._end_iter[c] <= 0:
+                    self._end_iter[c] = self.iter
+                self._finalize_chain(c)
 
     # ------------------------------------------------------------------
     # persistence (checkpoint + bit-exact resume)
@@ -428,26 +736,39 @@ class ChainEnsemble:
 
     # ------------------------------------------------------------------
 
-    def bic_table(self):
-        """Per-chain BIC over each chain's final MAP_over-iteration window:
-        BIC = -2*mean(loglik) + n_params*log(G), the same statistic the
-        reference's min-BIC driver reads from MAP_metrics (bayesNMF.R:95-97 /
-        update_MAP_metrics_, utils.R:381-388). Returns a DataFrame sorted by
-        BIC with one row per chain (columns: chain, rank, BIC, loglik)."""
-        import pandas as pd
+    def _chain_metrics_window(self, c: int):
+        """Chain ``c``'s final MAP_over-iteration metric window (its OWN
+        post-convergence window when finalized, else the global tail)."""
+        fin = self._final_metrics.get(c)
+        if fin is not None:
+            return fin
+        return self._metrics_tail(self.cc.MAP_over)[c]
 
-        win = self._metrics_tail(self.cc.MAP_over)  # (C, S, m)
-        mean_ll = np.nanmean(win[:, :, 3], axis=1)
-        n_params = win[:, -1, 5]  # sum(A)*(G+K); constant when A is fixed
-        ranks = win[:, -1, 7]
-        bic = -2.0 * mean_ll + n_params * np.log(self.spec.G)
-        df = pd.DataFrame({
-            "chain": np.arange(self.n_chains),
-            "rank": ranks.astype(int),
-            "BIC": bic,
-            "loglik": mean_ll,
-        })
-        return df.sort_values("BIC").reset_index(drop=True)
+    def bic_table(self):
+        """Per-chain BIC over each chain's own final MAP_over-iteration
+        window (ending at its ``_end_iter``, matching MAP_per_chain and the
+        reference's final-BIC extraction, bayesNMF.R:95-97):
+        BIC = -2*mean(loglik) + n_params*log(G). Returns a DataFrame sorted
+        by BIC with one row per chain (columns: chain, rank, BIC, loglik)."""
+        import pandas as pd
+        import warnings
+
+        rows = []
+        for c in range(self.n_chains):
+            win = self._chain_metrics_window(c)  # (S, m)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                mean_ll = float(np.nanmean(win[:, 3]))
+            ok = ~np.isnan(win[:, 0])
+            last = np.nonzero(ok)[0][-1] if ok.any() else -1
+            n_params = float(win[last, 5])
+            rank = float(win[last, 7])
+            rows.append({
+                "chain": c, "rank": int(rank),
+                "BIC": -2.0 * mean_ll + n_params * np.log(self.spec.G),
+                "loglik": mean_ll,
+            })
+        return pd.DataFrame(rows).sort_values("BIC").reset_index(drop=True)
 
     @property
     def learned_ranks(self):
@@ -465,9 +786,20 @@ class ChainEnsemble:
                     n_draws: Optional[int] = None):
         """Cross-chain convergence report: rank-normalized split-R̂ and
         bulk/tail ESS per metric (see parallel/diagnostics.py). Defaults to
-        the retained inference window (``n_draws=MAP_over``)."""
+        each chain's own retained inference window (``n_draws=MAP_over``)."""
         from .diagnostics import ensemble_diagnostics
 
         if n_draws is None:
             n_draws = self.cc.MAP_over
         return ensemble_diagnostics(self, metrics=metrics, n_draws=n_draws)
+
+    def metrics_stack(self, n_draws: int):
+        """(C, n_draws, m) stack of per-chain metric windows, each chain's
+        own inference window when finalized (NaN-padded if shorter)."""
+        out = np.full((self.n_chains, n_draws, gibbs.N_METRICS), np.nan,
+                      np.float32)
+        for c in range(self.n_chains):
+            win = self._chain_metrics_window(c)
+            w = win[-n_draws:]
+            out[c, -w.shape[0]:] = w
+        return out

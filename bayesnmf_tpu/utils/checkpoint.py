@@ -55,7 +55,7 @@ def save_ensemble(ens, path: str):
     chains bit-exactly (the reference cannot resume sampling at all,
     SURVEY.md C19)."""
     payload = {
-        "version": 1,
+        "version": 2,
         "kind": "ensemble",
         "spec": ens.spec,
         "cc": ens.cc,
@@ -80,6 +80,16 @@ def save_ensemble(ens, path: str):
         "output_dir": ens.output_dir,
         "row_names": getattr(ens, "row_names", None),
         "col_names": getattr(ens, "col_names", None),
+        "record": getattr(ens, "record", "basic"),
+        "want_ci": getattr(ens, "want_ci", True),
+        "compact": getattr(ens, "compact", True),
+        "slots": getattr(ens, "_slots", None),
+        "final_windows": getattr(ens, "_final_windows", {}),
+        "final_metrics": getattr(ens, "_final_metrics", {}),
+        "init_params": _to_host(ens._init_params)
+        if getattr(ens, "_init_params", None) else None,
+        "init_prior_params": _to_host(ens._init_prior_params)
+        if getattr(ens, "_init_prior_params", None) else None,
     }
     with open(path, "wb") as fh:
         pickle.dump(payload, fh, protocol=4)
@@ -104,6 +114,16 @@ def load_ensemble(cls, path: str, mesh=None):
     obj.temp_sched = p["temp_sched"]
     obj.hp = p["hp"]
     obj._data_np = p["data"]
+    obj.record = p.get("record", "basic")
+    obj.want_ci = p.get("want_ci", True)
+    obj.compact = p.get("compact", True)
+    obj._init_params = p.get("init_params")
+    obj._init_prior_params = p.get("init_prior_params")
+    obj._slots = p.get("slots")
+    if obj._slots is None:
+        obj._slots = np.arange(obj.n_chains)
+    obj._final_windows = p.get("final_windows", {})
+    obj._final_metrics = p.get("final_metrics", {})
     obj._attach_mesh(mesh)
     obj.states = jax.tree.map(jnp.asarray, p["states"])
     if mesh is not None:
@@ -124,12 +144,15 @@ def load_ensemble(cls, path: str, mesh=None):
     # window chunks stay host-side numpy; downstream consumers
     # (jnp.concatenate / slicing) accept either
     obj._window = p["window"]
+    for ch in obj._window:  # legacy (v1) chunks predate compaction
+        ch.setdefault("chain_ids", np.arange(obj.n_chains))
     obj._metric_rows = p["metric_rows"]
     obj.MAP_per_chain = p["MAP_per_chain"]
     obj._reference_comparisons = {}
     obj.time = p["time"]
     obj.output_dir = p["output_dir"]
-    obj.logger = RunLogger(None, 1)
+    # resumed runs keep logging to the original output dir (append)
+    obj.logger = RunLogger(obj.output_dir, 1, mode="a")
     obj.row_names = p.get("row_names")
     obj.col_names = p.get("col_names")
     return obj
@@ -182,7 +205,8 @@ def load_sampler(cls, path: str, mesh=None):
     obj.output_dir = p["output_dir"]
     from .logging import RunLogger
 
-    obj.logger = RunLogger(None, obj.run_cfg.verbosity)
+    # resumed runs keep logging to the original output dir (append)
+    obj.logger = RunLogger(obj.output_dir, obj.run_cfg.verbosity, mode="a")
     obj.reference_comparison = {}
     obj.row_names = p.get("row_names")
     obj.col_names = p.get("col_names")

@@ -14,13 +14,17 @@ from typing import Optional
 
 
 class RunLogger:
-    def __init__(self, output_dir: Optional[str], verbosity: int = 1):
+    def __init__(self, output_dir: Optional[str], verbosity: int = 1,
+                 mode: str = "w"):
+        """``mode='a'`` appends — used on checkpoint resume so a resumed run
+        keeps writing to the original log.txt (the reference's log connection
+        lives with the object, bayesNMF_sampler.R:167-175)."""
         self.verbosity = verbosity
         self.indent = 0
         self._fh: Optional[io.TextIOBase] = None
         if output_dir is not None:
             os.makedirs(output_dir, exist_ok=True)
-            self._fh = open(os.path.join(output_dir, "log.txt"), "w")
+            self._fh = open(os.path.join(output_dir, "log.txt"), mode)
 
     def log(self, msg: str, verbosity: int = 5):
         if verbosity > self.verbosity or not msg:

@@ -20,12 +20,30 @@ compiles across workers.
 
 import os
 
+import pytest
+
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 ).strip()
 
 import jax  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables + tracing caches after every test module.
+
+    The monolithic fast-suite run used to segfault deterministically inside
+    XLA:CPU's backend_compile_and_load after ~77 programs had accumulated in
+    one process (any single file passed in isolation) — an in-process
+    compiler-state buildup, not a bug in any one program. Clearing JAX's
+    executable/tracing caches at module boundaries bounds the accumulation;
+    each module recompiles its own programs, which it would have had to do
+    under per-file isolation anyway.
+    """
+    yield
+    jax.clear_caches()
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

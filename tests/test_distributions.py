@@ -139,3 +139,31 @@ def test_binomial_degenerate_edges():
     x = np.asarray(jax.jit(D.binomial)(key, n, p))
     assert x[0] == 0.0 and x[1] == 0.0 and x[2] == 7.0
     assert 0.0 <= x[3] <= 3.0
+
+
+def test_gamma_nonfinite_shape_returns_nan_not_deadlock():
+    """A non-finite (or <= 0) shape parameter must yield NaN, not spin the
+    exact-fallback while_loop forever: gamma shapes include sampled
+    quantities (a + Alpha_p), so a transient overflow has to surface as an
+    observable NaN (NA_events) rather than hang the device program."""
+    from bayesnmf_tpu.ops import distributions as D
+
+    key = jax.random.PRNGKey(3)
+    a = jnp.asarray([2.0, np.nan, np.inf, 0.0, -1.0, 5.0])
+    out = np.asarray(jax.jit(D.gamma)(key, a, 1.0))
+    assert np.isfinite(out[0]) and out[0] > 0
+    assert np.isfinite(out[5]) and out[5] > 0
+    assert np.isnan(out[1]) and np.isnan(out[2])
+    # a = 0 degenerates to the point mass at 0 via the boost multiplier
+    assert np.isnan(out[3]) or out[3] == 0.0
+    assert np.isnan(out[4]) or out[4] == 0.0
+
+
+def test_binomial_nonfinite_inputs_do_not_deadlock():
+    from bayesnmf_tpu.ops import distributions as D
+
+    key = jax.random.PRNGKey(4)
+    n = jnp.asarray([np.nan, 50.0, 1e4])
+    p = jnp.asarray([0.4, np.nan, 0.4])
+    x = np.asarray(jax.jit(D.binomial)(key, n, p))  # must return, not hang
+    assert np.isfinite(x[2])
