@@ -66,6 +66,12 @@ class ModelSpec:
     # per-kernel latency dominates (single chain, K*G small enough for the
     # working set to stay in VMEM). Poisson+MH only.
     fused_sweeps: bool = False
+    # Run the latent-count multinomial allocation (the conjugate-Gibbs hot
+    # op) as ONE VMEM-resident Pallas kernel with in-kernel TPU PRNG
+    # (ops/pallas_allocation.py) instead of the log2(N)-launch XLA tree.
+    # Poisson Gibbs (MH=False) path only; single-chain programs (the
+    # vmapped ensemble path keeps the XLA tree).
+    fused_allocation: bool = False
 
     def __post_init__(self):
         # Validity rules follow the reference check_model
@@ -97,6 +103,11 @@ class ModelSpec:
         if self.fused_sweeps and not (self.likelihood == "poisson" and self.MH):
             raise ModelError(
                 "fused_sweeps applies to the poisson+MH sampler only")
+        if self.fused_allocation and not (
+                self.likelihood == "poisson" and not self.MH):
+            raise ModelError(
+                "fused_allocation applies to the conjugate poisson Gibbs "
+                "sampler (MH=False) only")
         if min(self.K, self.N, self.G) < 1:
             raise ModelError("K, N, G must be positive")
 

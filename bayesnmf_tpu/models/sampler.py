@@ -73,6 +73,7 @@ class GibbsSampler:
         record_history: str = "basic",
         mesh=None,
         fused_sweeps: bool = False,
+        fused_allocation: Optional[bool] = None,
         seed: int = 0,
     ):
         if record_history not in ("basic", "full"):
@@ -102,11 +103,17 @@ class GibbsSampler:
         if MH is None:
             MH = default_MH(likelihood, prior)
 
+        if fused_allocation is None:
+            # auto: the fused allocation kernel needs the TPU core PRNG;
+            # single-chain conjugate Poisson-Gibbs is exactly its hot path
+            fused_allocation = (
+                likelihood == "poisson" and not MH and mesh is None
+                and jax.devices()[0].platform == "tpu")
         self.spec = ModelSpec(
             K=data.shape[0], N=N, G=data.shape[1],
             likelihood=likelihood, prior=prior, MH=MH,
             learning_rank=learning_rank, rank_method=rank_method,
-            fused_sweeps=fused_sweeps,
+            fused_sweeps=fused_sweeps, fused_allocation=fused_allocation,
         )
         self.cc = convergence_control or ConvergenceControl()
         self.run_cfg = RunConfig(

@@ -647,4 +647,14 @@ def sample_sigmasq(spec: ModelSpec, data, prior: dict, Mhat, key):
 
 
 def sample_Z_sums(spec: ModelSpec, data, params: dict, key):
+    if spec.fused_allocation:
+        # whole binary-splitting tree in one VMEM-resident Pallas kernel
+        # with in-kernel TPU PRNG (ops/pallas_allocation.py) — the SURVEY
+        # §2.3 fused multinomial-allocation kernel. Enabled per-spec (the
+        # single-chain conjugate hot path); the XLA tree below remains the
+        # portable reference implementation and the vmapped-ensemble path.
+        from ..ops.pallas_allocation import allocate_counts_fused
+
+        return allocate_counts_fused(
+            key, data, params["P"], params["A"], params["E"])
     return allocate_counts(key, data, params["P"], params["A"], params["E"])

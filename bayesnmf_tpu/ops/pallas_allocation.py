@@ -142,7 +142,11 @@ def _alloc_kernel(N, n2, use_prng, *refs):
         (u_ref, M_ref, P_ref, A_ref, E_ref, zg_ref, zk_ref) = refs
     gi = pl.program_id(0)
     if use_prng:
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], gi)
+        # Mosaic accepts at most 2 seed words: fold the grid index into the
+        # first key word (Knuth multiplicative mix) for a distinct
+        # per-G-tile stream
+        pltpu.prng_seed(seed_ref[0] + gi * jnp.int32(-1640531527),
+                        seed_ref[1])
 
     def fresh_uniform(shape):
         bits = pltpu.prng_random_bits(shape)

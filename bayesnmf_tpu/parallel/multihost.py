@@ -99,8 +99,17 @@ def global_mesh(n_chain: Optional[int] = None,
             f"({hosts}) for host-data-parallel chains")
     from jax.experimental import mesh_utils
 
-    arr = mesh_utils.create_hybrid_device_mesh(
-        (n_chain // hosts, n_g), (hosts, 1), devices=devs)
+    try:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (n_chain // hosts, n_g), (hosts, 1), devices=devs)
+    except ValueError:
+        # Backends without slice topology (multi-process CPU, some
+        # single-slice pods): group by process explicitly — the g axis stays
+        # inside one process's devices, the chain axis spans processes on
+        # the outer (DCN) dimension, same layout doctrine by hand.
+        devs_sorted = sorted(devs, key=lambda d: (d.process_index, d.id))
+        arr = np.asarray(devs_sorted).reshape(
+            hosts, per_host // n_g, n_g).reshape(n_chain, n_g)
     return Mesh(arr, (CHAIN_AXIS, G_AXIS))
 
 

@@ -1,8 +1,9 @@
 """Benchmarks for the 5 BASELINE.json configs.
 
-Default (no args) prints ONE JSON line for the driver — config 2
-(96x500 Poisson-TruncNormal+MH, fixed K=8, single chain, fused kernel):
-{"metric", "value", "unit", "vs_baseline"}.
+Default (no args, the driver's invocation) prints one JSON line PER config,
+headline first — config 2 (96x500 Poisson-TruncNormal+MH, fixed K=8, single
+chain, fused kernel): {"metric", "value", "unit", "vs_baseline"} — then
+configs 1, 3, 4, 5.
 
 Other modes (each prints one JSON line per config):
   --config 1   96x100 Poisson-Exponential Gibbs, K=5 (latent-count
@@ -56,8 +57,9 @@ def _barrier(x):
 
 
 def bench_tpu_config(K, N, G, likelihood, prior, MH, *, learning_rank=False,
-                     rank_method="SBFI", fused=False, iters=BENCH_ITERS,
-                     record="basic", reps=3, seed=0, temps_at_one=True):
+                     rank_method="SBFI", fused=False, fused_alloc=False,
+                     iters=BENCH_ITERS, record="basic", reps=3, seed=0,
+                     temps_at_one=True):
     """Steady-state Gibbs iterations/sec for one model config on the chip."""
     import jax
     import jax.numpy as jnp
@@ -68,7 +70,8 @@ def bench_tpu_config(K, N, G, likelihood, prior, MH, *, learning_rank=False,
     data = _sim_data(seed=seed, K=K, N=N, G=G)
     spec = ModelSpec(K=K, N=N, G=G, likelihood=likelihood, prior=prior,
                      MH=MH, learning_rank=learning_rank,
-                     rank_method=rank_method, fused_sweeps=fused)
+                     rank_method=rank_method, fused_sweeps=fused,
+                     fused_allocation=fused_alloc)
     hp = default_hyperprior_params(spec, float(data.mean()))
     d = jnp.asarray(data)
     state = gibbs.init_state(spec, hp, d, jax.random.PRNGKey(seed))
@@ -196,10 +199,14 @@ def baseline_numpy_gibbs(data, N, iters=BASELINE_ITERS, seed=1):
 
 
 def config1():
-    """96x100 Poisson-Exponential Gibbs, fixed K=5 (allocation kernel)."""
+    """96x100 Poisson-Exponential Gibbs, fixed K=5 (fused Pallas
+    allocation kernel on TPU; the XLA binomial tree elsewhere)."""
+    import jax
+
     data = _sim_data(seed=0, K=96, N=5, G=100)
+    on_tpu = jax.devices()[0].platform == "tpu"
     ips = bench_tpu_config(96, 5, 100, "poisson", "exponential", False,
-                           iters=BENCH_ITERS)
+                           fused_alloc=on_tpu, iters=BENCH_ITERS)
     base = baseline_numpy_gibbs(data, 5, iters=5)
     return {"metric": "gibbs_iters_per_sec_96x100_K5_poisson_exp_gibbs",
             "value": round(ips, 2), "unit": "iterations/sec/chip",
@@ -356,8 +363,12 @@ def bench_bic(ranks=range(1, 9), K=96, G=500):
             "best_rank": int(out_p["best_rank"])}
 
 
-def bench_chains(n_chains: int, iters: int = 100):
-    """Multi-chain throughput (chain-iterations/sec) at config-2 size."""
+def bench_chains(n_chains: int, iters: int = 100, fused: bool = False):
+    """Multi-chain throughput (chain-iterations/sec) at config-2 size.
+
+    ``fused=True`` runs the vmapped fused Pallas sweep kernel (one kernel,
+    grid over chains, per-chain accept flags as operands); ``False`` is the
+    XLA sweep path (per-chain batched matmuls)."""
     import jax
     import jax.numpy as jnp
 
@@ -366,7 +377,7 @@ def bench_chains(n_chains: int, iters: int = 100):
 
     data = _sim_data()
     spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson", prior="truncnormal",
-                     MH=True)
+                     MH=True, fused_sweeps=fused)
     hp = default_hyperprior_params(spec, float(data.mean()))
     d = jnp.asarray(data)
     states = C.init_chain_states(spec, hp, d, jax.random.PRNGKey(0), n_chains)
@@ -441,9 +452,11 @@ def main():
 
     if "--chains" in sys.argv:
         n = int(sys.argv[sys.argv.index("--chains") + 1])
-        cips = bench_chains(n)
+        fused = "--xla" not in sys.argv
+        cips = bench_chains(n, fused=fused)
+        kind = "fused" if fused else "xla"
         print(json.dumps({
-            "metric": f"chain_iters_per_sec_{n}chains_96x500_K8_MH",
+            "metric": f"chain_iters_per_sec_{n}chains_96x500_K8_MH_{kind}",
             "value": round(cips, 2), "unit": "chain-iterations/sec/chip",
             "vs_baseline": None}))
         return
@@ -463,7 +476,14 @@ def main():
         print(json.dumps(
             {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}[n]()))
         return
-    print(json.dumps(config2()))
+    # default (the driver's no-arg invocation): ALL FIVE BASELINE configs,
+    # one JSON line each, headline (config 2) first.
+    for fn in (config2, config1, config3, config4, config5):
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:  # one config failing must not hide the rest
+            print(json.dumps({"metric": fn.__name__, "error": str(e)}),
+                  flush=True)
 
 
 if __name__ == "__main__":
