@@ -132,7 +132,16 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
         k_s = ks_all[_i]
     params = dict(state["params"])
 
-    prior = U.sample_prior_params(spec, hp, params, state["prior"], k_pp)
+    # Truncnormal exact hyper-updates ride INSIDE the fused kernel (their
+    # elementwise Metropolized-conjugate transitions plus the sweep uniforms
+    # come from the same single RNG launch); every other config keeps the
+    # host-graph prior sweep.
+    hyper_in_kernel = (spec.fused_sweeps and spec.prior == "truncnormal"
+                       and spec.exact_truncnorm_hypers)
+    if hyper_in_kernel:
+        prior = dict(state["prior"])
+    else:
+        prior = U.sample_prior_params(spec, hp, params, state["prior"], k_pp)
 
     # Recompute Mhat fresh each iteration (one MXU matmul) so the rank-1
     # updates inside the sweeps cannot accumulate f32 drift across thousands
@@ -157,14 +166,17 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
         K, N, G = spec.K, spec.N, spec.G
         # ONE uniform launch covers every tensor the kernel consumes
         # (prior-fallback, proposal, and acceptance uniforms for both
-        # sweeps, plus — when rank learning — the Gumbel noise for the R
+        # sweeps; the hyper-sweep planes when the prior update rides
+        # in-kernel; and — when rank learning — the Gumbel noise for the R
         # categorical and the A Bernoulli uniforms); the kernel turns the
         # prior-fallback uniforms into prior draws in VMEM. RNG launches
         # dominate small-problem iterations.
         n_p, n_e = K * N, N * G
         n_rank = 2 * (N + 1) if spec.learning_rank else 0
-        u = jax.random.uniform(k_P, (3 * (n_p + n_e) + n_rank,), jnp.float32,
-                               minval=tiny)
+        n_hyper = 4 * (n_p + n_e) if hyper_in_kernel else 0
+        u = jax.random.uniform(
+            k_P, (3 * (n_p + n_e) + n_rank + n_hyper,), jnp.float32,
+            minval=tiny)
         Upr_P = u[:n_p].reshape(K, N)
         Up_P = u[n_p:2 * n_p].reshape(K, N)
         Ua_P = u[2 * n_p:3 * n_p].reshape(K, N)
@@ -181,19 +193,34 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
             row0 = jnp.zeros((N + 1,), jnp.float32).at[0].set(
                 jnp.asarray(temperature, jnp.float32))
             rank_pack = jnp.stack([row0, gumbel, u_A])
+        hyper_u = hyper_hp = None
+        if hyper_in_kernel:
+            off = 3 * (n_p + n_e) + n_rank
+            hyper_u = (u[off:off + 4 * n_p].reshape(4, K, N),
+                       u[off + 4 * n_p:off + n_hyper].reshape(4, N, G))
+            bc = jnp.broadcast_to
+            hyper_hp = (
+                jnp.stack([bc(jnp.asarray(hp[k], jnp.float32), (K, N))
+                           for k in ("m_p", "s_p", "a_p", "b_p")]),
+                jnp.stack([bc(jnp.asarray(hp[k], jnp.float32), (N, G))
+                           for k in ("m_e", "s_e", "a_e", "b_e")]))
         if spec.prior == "truncnormal":
             hp_arrays = (prior["Mu_p"], prior["Sigmasq_p"],
                          prior["Mu_e"], prior["Sigmasq_e"])
         else:
             hp_arrays = (prior["Lambda_p"], jnp.ones((K, N), jnp.float32),
                          prior["Lambda_e"], jnp.ones((N, G), jnp.float32))
-        (params["P"], params["E"], Mh, acc_P, acc_E, A_new,
-         R_new, na_events) = fused_gibbs_sweeps(
+        (params["P"], params["E"], Mh, acc_P, acc_E, A_new, R_new, na_events,
+         hp0_p_o, hp1_p_o, hp0_e_o, hp1_e_o) = fused_gibbs_sweeps(
             data, params["P"], params["E"], params["A"], Mh, acc_P, acc_E,
             Upr_P, Upr_E, Up_P, Ua_P, Up_E, Ua_E, *hp_arrays, rank_pack,
             prior_kind=spec.prior, exact_mh=spec.exact_mh,
             accept_all=accept_all,
-            rank_method=spec.rank_method if spec.learning_rank else None)
+            rank_method=spec.rank_method if spec.learning_rank else None,
+            hyper_u=hyper_u, hyper_hp=hyper_hp)
+        if hyper_in_kernel:
+            prior["Mu_p"], prior["Sigmasq_p"] = hp0_p_o, hp1_p_o
+            prior["Mu_e"], prior["Sigmasq_e"] = hp0_e_o, hp1_e_o
         if spec.learning_rank:
             params["A"] = A_new
             params["R"] = R_new.astype(jnp.int32)

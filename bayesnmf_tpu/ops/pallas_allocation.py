@@ -47,19 +47,25 @@ _TINY = 1.2e-38  # python float: a module-level jnp constant would be
 # "captured" by the kernel trace, which pallas_call rejects
 _HALF_LOG_2PI = 0.9189385332046727
 _UNROLL = 8          # BTRS rounds fed from the shared uniform planes
-_FB_ROUNDS = 8       # extra fresh-bit rounds (PRNG mode only)
+_FB_ROUNDS = 4       # extra fresh-bit rounds (PRNG mode only): total 12
+# rounds puts P(all reject) <= 0.14^12 ~ 8e-11 per element — the mode
+# fallback fires ~once per 1e10 draws, far below f32 rounding effects
 _INV_STEPS = 40      # f32-exact CDF inversion bound (see distributions.py)
 N_PLANES = 1 + 2 * _UNROLL  # inversion plane + (u, v) per BTRS round
 
 
 def _lgamma_pos(x):
     """log Gamma(x) for x >= 1 as pure VPU arithmetic (Mosaic has no lgamma):
-    shift into z >= 8 by the recurrence, then the Stirling series — |rel err|
-    well under f32 resolution for the binomial acceptance test."""
+    shift into z >= 5 by the recurrence, then the 3-term Stirling series.
+    Truncation error at z = 5: next term 1/(1680 z^7) ~ 8e-9 — below f32
+    resolution of the binomial acceptance test (the XLA path's lax.lgamma
+    is itself an f32 approximation of the same order). The shift loop, not
+    the series, is the dominant cost (one log per iteration over the whole
+    tile), so it runs the minimum count that guarantees z >= 5 from z >= 1."""
     shift = jnp.zeros_like(x)
     z = x
-    for _ in range(8):
-        small = z < 8.0
+    for _ in range(4):
+        small = z < 5.0
         shift = shift + jnp.where(small, jnp.log(jnp.maximum(z, _TINY)), 0.0)
         z = jnp.where(small, z + 1.0, z)
     zi = 1.0 / z

@@ -363,6 +363,51 @@ def bench_bic(ranks=range(1, 9), K=96, G=500):
             "best_rank": int(out_p["best_rank"])}
 
 
+def bench_compaction(n_chains: int = 32):
+    """Wall-clock of a staggered-convergence ensemble with live-chain
+    compaction on vs off.
+
+    Chains converge at different checks (per-chain RNG); with compact=False
+    every finished chain keeps executing full Gibbs sweeps until the slowest
+    one is done (the reference-shaped waste); compact=True shrinks the
+    resident ensemble to power-of-two buckets of live chains. Both runs do
+    identical statistical work (identical per-chain windows/MAPs)."""
+    from bayesnmf_tpu.config import ConvergenceControl
+    from bayesnmf_tpu.parallel.ensemble import ChainEnsemble
+
+    data = _sim_data(seed=0, K=96, N=8, G=500)
+    # tight tol + noisy no-best gate => chains converge at genuinely
+    # different checks (measured spread ~650..3000 iters at these settings)
+    cc = ConvergenceControl(MAP_over=100, MAP_every=50, miniters=200,
+                            maxiters=3000, Ninarow_nochange=2,
+                            Ninarow_nobest=6, tol=5e-5)
+
+    def run(compact, seed):
+        t0 = time.perf_counter()
+        ens = ChainEnsemble(
+            data, 8, n_chains=n_chains, likelihood="poisson",
+            prior="truncnormal", MH=True, convergence_control=cc,
+            post_warmup=200, seed=seed, output_dir=None, compact=compact,
+            store_E=False, verbosity=0)
+        ens.run()
+        return ens, time.perf_counter() - t0
+
+    # warm with the SAME seed so the timed run's bucket-size program
+    # sequence is fully compiled (compile cost through the remote relay
+    # would otherwise swamp the steady-state comparison)
+    run(True, 1)
+    ens_c, t_c = run(True, 1)
+    run(False, 1)
+    ens_n, t_n = run(False, 1)
+    return {"metric": f"ensemble_compaction_{n_chains}chains_96x500",
+            "value": round(t_n / t_c, 2), "unit": "x wall-clock speedup",
+            "vs_baseline": None,
+            "compact_seconds": round(t_c, 2),
+            "no_compact_seconds": round(t_n, 2),
+            "iters": int(ens_c.iter),
+            "final_resident": int(ens_c._slots.size)}
+
+
 def bench_chains(n_chains: int, iters: int = 100, fused: bool = False):
     """Multi-chain throughput (chain-iterations/sec) at config-2 size.
 
@@ -462,6 +507,9 @@ def main():
         return
     if "--bic" in sys.argv:
         print(json.dumps(bench_bic()))
+        return
+    if "--compact" in sys.argv:
+        print(json.dumps(bench_compaction()))
         return
     if "--scaling" in sys.argv:
         for row in bench_scaling():

@@ -233,3 +233,19 @@ def test_reference_kernels_fail_geweke(flag, expect_sign):
         "re-justification")
     # direction of the bias on the mean(P) statistic
     assert np.sign(z[0]) == expect_sign, (flag, z)
+
+
+@pytest.mark.slow
+def test_geweke_joint_fused_truncnormal_inkernel_hypers():
+    """Joint invariance of the FULLY fused truncnormal iteration: the
+    Mu/Sigmasq hyper-sweep (Metropolized conjugate + Wilson-Hilferty
+    transitions) now runs inside the Pallas kernel alongside the P/E MH
+    sweeps (ops/pallas_sweeps._hyper_sweep_side), so this exercises the
+    whole in-kernel chain end to end."""
+    spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson", prior="truncnormal",
+                     MH=True, fused_sweeps=True)
+    hp = fixed_hp(spec)
+    z, m_s, m_m = _geweke_z(spec, hp)
+    assert np.all(np.abs(z) < 6.0), (
+        f"Geweke mismatch for fused truncnormal w/ in-kernel hypers: "
+        f"z={z}, succ={m_s}, marg={m_m}")
