@@ -18,13 +18,18 @@ the same cosine-weighted Hungarian voting the single-chain path uses
 Two throughput mechanisms the single-chain path lacks:
   - the fused Pallas sweep kernel batches over the chain axis (the per-chain
     warmup accept flag is a kernel operand, so one kernel grid covers chains
-    in both phases; ``fused_sweeps=True``);
+    in both phases; ``fused_sweeps=True``). Measured guidance (BENCH_NOTES
+    "ensemble axis"): the XLA sweep path is HBM-bound and wins for C >= 8
+    (42.8k vs 25.7k chain-it/s at C = 256, 96x500); the VPU-bound kernel's
+    domain is the latency-bound single-chain regime (~4.9x there). Default
+    is therefore the XLA path; fused is opt-in.
   - **live-chain compaction**: once a chain has finished its inference window
     (its ``_end_iter``), its MAP/CIs/sample window are finalized to host
     memory and the device ensemble is compacted to the still-running chains
     (power-of-two buckets, so at most log2(C) program sizes ever compile) —
     converged chains stop consuming device iterations instead of idling
-    until the slowest chain finishes.
+    until the slowest chain finishes (measured 1.17x wall-clock on a
+    staggered 32-chain run through the relay; bench.py --compact).
 """
 
 from __future__ import annotations

@@ -45,7 +45,13 @@ def _clear_jax_caches_between_modules():
     yield
     jax.clear_caches()
 
-jax.config.update("jax_platforms", "cpu")
+# BAYESNMF_TEST_TPU=1 keeps the axon TPU backend so the statistical gates
+# (e.g. the fused-kernel Geweke tests) can run compiled on the real chip
+# instead of interpret mode:
+#   BAYESNMF_TEST_TPU=1 python -m pytest tests/test_geweke.py -k fused
+_USE_TPU = os.environ.get("BAYESNMF_TEST_TPU", "0") == "1"
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 if os.environ.get("BAYESNMF_TEST_CACHE", "0") == "1":
@@ -54,4 +60,4 @@ if os.environ.get("BAYESNMF_TEST_CACHE", "0") == "1":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-assert jax.devices()[0].platform == "cpu"
+assert _USE_TPU or jax.devices()[0].platform == "cpu"
