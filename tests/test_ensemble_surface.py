@@ -143,3 +143,37 @@ def test_fit_parallel_bic_falls_back_to_serial_on_unsupported_kwargs():
               output_dir=None, post_warmup=40, seed=0,
               save_all_samples=False)  # GibbsSampler-only kwarg
     assert isinstance(out["sampler"], GibbsSampler)
+
+
+def test_compaction_preserves_per_chain_inference():
+    """Compaction must not change any chain's statistical output: the
+    per-chain RNG streams and window boundaries are identical with compact
+    on vs off, so convergence iterations and inference windows match
+    exactly. (Sample values are bit-identical only up to XLA's batch-size-
+    dependent matmul reduction order — an ULP-level difference that MCMC
+    chaos amplifies into ordinary Monte-Carlo spread — so the estimates are
+    compared as estimates, not bitwise.)"""
+    # tight tol + noisy no-best gate stagger convergence across checks
+    cc = ConvergenceControl(MAP_over=40, MAP_every=20, miniters=60,
+                            maxiters=400, Ninarow_nochange=2,
+                            Ninarow_nobest=4, tol=1e-5)
+    kw = dict(likelihood="poisson", prior="truncnormal", MH=True,
+              convergence_control=cc, post_warmup=40, seed=3,
+              output_dir=None, verbosity=0)
+    e1 = ChainEnsemble(_sim(), 3, n_chains=6, compact=True, **kw).run()
+    e2 = ChainEnsemble(_sim(), 3, n_chains=6, compact=False, **kw).run()
+    assert e1._slots.size < 6, "staggering never compacted; weaken CC"
+    # identical convergence decisions + windows
+    np.testing.assert_array_equal(e1._end_iter, e2._end_iter)
+    np.testing.assert_array_equal(e1.tracker.converged_iter,
+                                  e2.tracker.converged_iter)
+    for c in range(6):
+        m1, m2 = e1.MAP_per_chain[c], e2.MAP_per_chain[c]
+        np.testing.assert_array_equal(m1["idx"], m2["idx"])
+        P1 = np.asarray(m1["P"])
+        P2 = np.asarray(m2["P"])
+        assert P1.shape == P2.shape
+        for j in range(P1.shape[1]):
+            cos = (P1[:, j] @ P2[:, j]) / (
+                np.linalg.norm(P1[:, j]) * np.linalg.norm(P2[:, j]) + 1e-12)
+            assert cos > 0.98, (c, j, cos)
