@@ -42,10 +42,9 @@ def _clear_jax_caches_between_modules():
     each module recompiles its own programs, which it would have had to do
     under per-file isolation anyway.
 
-    Verified (round 4): FOUR consecutive monolithic `pytest -m "not slow"`
-    runs of the full suite, 125 passed / exit 0 each (2119 s, 2120 s,
-    2366 s, 1720 s wall on this 2-core host while sharing it with TPU bench
-    jobs; the last run populated the persistent compile cache).
+    Verified (round 4): FIVE consecutive monolithic `pytest -m "not slow"`
+    runs of the full suite, all passed / exit 0 (2119 s, 2120 s, 2366 s,
+    1720 s cache-populating, then **520 s warm-cache** on this 2-core host).
     """
     yield
     jax.clear_caches()
