@@ -72,6 +72,12 @@ class ModelSpec:
     # Poisson Gibbs (MH=False) path only; single-chain programs (the
     # vmapped ensemble path keeps the XLA tree).
     fused_allocation: bool = False
+    # Run the MH sweeps through the STREAMING Pallas reductions
+    # (ops/pallas_stream_sweeps.py): Mhat is recomputed per G-tile in VMEM
+    # instead of carried in HBM, cutting the per-column traffic to two
+    # data+E reads. The large-G ensemble regime (HBM-bound; config 5).
+    # Poisson + exact-MH only; mutually exclusive with fused_sweeps.
+    stream_sweeps: bool = False
 
     def __post_init__(self):
         # Validity rules follow the reference check_model
@@ -108,6 +114,16 @@ class ModelSpec:
             raise ModelError(
                 "fused_allocation applies to the conjugate poisson Gibbs "
                 "sampler (MH=False) only")
+        if self.stream_sweeps:
+            if not (self.likelihood == "poisson" and self.MH
+                    and self.exact_mh):
+                raise ModelError(
+                    "stream_sweeps applies to the poisson + exact-MH "
+                    "sampler only")
+            if self.fused_sweeps:
+                raise ModelError(
+                    "stream_sweeps and fused_sweeps are mutually exclusive "
+                    "(VMEM-resident vs streaming kernels)")
         if min(self.K, self.N, self.G) < 1:
             raise ModelError("K, N, G must be positive")
 

@@ -98,7 +98,7 @@ def init_state(spec: ModelSpec, hp: dict, data, key, init_params=None,
 
 
 def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
-               accept_all, record: str = "basic"):
+               accept_all, record: str = "basic", metric_consts=None):
     """One full Gibbs sweep; returns (new_state, sample_out).
 
     Update order matches run_gibbs_sampler + sample_params_
@@ -224,6 +224,16 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
         if spec.learning_rank:
             params["A"] = A_new
             params["R"] = R_new.astype(jnp.int32)
+    elif spec.stream_sweeps:
+        # large-G ensembles: Mhat never lives in HBM — the streaming kernels
+        # (ops/pallas_stream_sweeps) recompute each tile in VMEM; one
+        # matmul rebuilds it afterwards for the metrics row / A-sweep
+        params["P"], acc_P, nan_P = U.stream_sweep_P(
+            spec, data, params, prior, acc_P, k_P, accept_all)
+        params["E"], acc_E, nan_E = U.stream_sweep_E(
+            spec, data, params, prior, acc_E, k_E, accept_all)
+        Mh = m.mhat(params["P"], params["A"], params["E"])
+        na_events = nan_P + nan_E
     else:
         params["P"], Mh, acc_P, nan_P = U.sweep_P(
             spec, data, params, prior, Mh, acc_P, k_P, accept_all)
@@ -251,7 +261,7 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
         new_state["acc_E"] = acc_E
 
     metrics = _metrics_row(spec, data, params, prior, Mh, new_iter, temperature,
-                           acc_P, acc_E, na_events)
+                           acc_P, acc_E, na_events, metric_consts)
     sample_out = {"metrics": metrics}
     if record != "metrics":
         sample_out |= {"P": params["P"], "E": params["E"], "A": params["A"]}
@@ -267,10 +277,27 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
 
 
 def _metrics_row(spec, data, params, prior, Mh, it, temperature, acc_P, acc_E,
-                 na_events=0.0):
-    """Per-iteration metrics (compute_metrics_, utils.R:412-455)."""
-    ll_mat = m.loglik_mat(data, Mh, spec.likelihood, params.get("sigmasq"))
-    loglik = jnp.sum(ll_mat)
+                 na_events=0.0, consts=None):
+    """Per-iteration metrics (compute_metrics_, utils.R:412-455).
+
+    ``consts`` carries the data-only reductions (ops.math.metric_constants),
+    hoisted out of the scan by the chunk runners; when None (direct calls,
+    e.g. snapshot_sample) they are computed inline — XLA CSEs the lgamma
+    pass in a single-step program, so one-off callers lose nothing.
+    """
+    if consts is None:
+        consts = m.metric_constants(spec.likelihood, data)
+    if spec.likelihood == "poisson":
+        # shared log(max(Mhat, floor)) pass feeds BOTH the loglik and the
+        # padded KL (the floors coincide: MHAT_FLOOR == the KL pad, 1e-6)
+        lam = jnp.maximum(Mh, m.MHAT_FLOOR)
+        L = jnp.log(lam)
+        loglik = jnp.sum(data * L) - jnp.sum(lam) - consts["lgamma_sum"]
+        kl = consts["mlogm_sum"] - jnp.sum(jnp.maximum(data, 1e-6) * L)
+    else:
+        loglik = jnp.sum(m.normal_loglik_mat(data, Mh, params["sigmasq"]))
+        kl = consts["mlogm_sum"] - jnp.sum(
+            jnp.maximum(data, 1e-6) * jnp.log(jnp.maximum(Mh, 1e-6)))
     logpost = loglik + m.logprior_PE(params["P"], params["E"], spec.prior, prior)
     n_par = m.n_params_of(params["A"], spec.K, spec.G)
     if spec.MH:
@@ -284,7 +311,7 @@ def _metrics_row(spec, data, params, prior, Mh, it, temperature, acc_P, acc_E,
     return jnp.stack([
         it.astype(jnp.float32),
         m.rmse(data, Mh),
-        m.padded_kl(Mh, data),
+        kl,
         loglik,
         logpost,
         n_par.astype(jnp.float32),
@@ -344,8 +371,10 @@ def run_chunk(spec: ModelSpec, data, hp: dict, state: dict, temps,
     if record is None:
         record = "full" if record_full else "basic"
 
+    consts = m.metric_constants(spec.likelihood, data)
+
     def body(st, temp):
-        return gibbs_step(spec, data, hp, st, temp, accept_all, record)
+        return gibbs_step(spec, data, hp, st, temp, accept_all, record, consts)
 
     return jax.lax.scan(body, state, temps)
 

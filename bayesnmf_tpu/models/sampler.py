@@ -48,6 +48,29 @@ def _resolve_output_dir(output_dir: Optional[str], overwrite: bool) -> Optional[
     return final
 
 
+#: Largest K*G at which the fused sweep kernel's (K, G) operands are measured
+#: to fit VMEM (K=96, G=3000 compiles and runs on-chip; BENCH_NOTES
+#: "Fused-kernel scale limits").
+_FUSED_SWEEPS_MAX_KG = 96 * 3000
+
+
+def _auto_fused_sweeps(likelihood, prior, MH, mesh, K, G, platform=None):
+    """Measured-best default for the fused Pallas sweep kernel.
+
+    The kernel wins ~4.9x over the XLA sweeps for a SINGLE chain of the
+    poisson+MH families on TPU when all (K, G) operands fit in VMEM
+    (BENCH_NOTES crossover table + kernel-limits table); ensembles (C>=8 is
+    where the HBM-bound XLA path overtakes the VPU-bound kernel) and
+    mesh-sharded fits stay on the XLA path, which this policy leaves alone.
+    """
+    platform = platform or jax.devices()[0].platform
+    return (likelihood == "poisson" and bool(MH)
+            and prior in ("truncnormal", "exponential")
+            and mesh is None
+            and platform == "tpu"
+            and K * G <= _FUSED_SWEEPS_MAX_KG)
+
+
 class GibbsSampler:
     """Single-chain Bayesian NMF Gibbs sampler (device-resident hot loop)."""
 
@@ -72,7 +95,7 @@ class GibbsSampler:
         save_all_samples: bool = True,
         record_history: str = "basic",
         mesh=None,
-        fused_sweeps: bool = False,
+        fused_sweeps: Optional[bool] = None,
         fused_allocation: Optional[bool] = None,
         seed: int = 0,
     ):
@@ -103,6 +126,11 @@ class GibbsSampler:
         if MH is None:
             MH = default_MH(likelihood, prior)
 
+        if fused_sweeps is None:
+            # auto: ship the measured-best path by default — the published
+            # single-chain numbers (12.8k it/s config 2) come from this kernel
+            fused_sweeps = _auto_fused_sweeps(
+                likelihood, prior, MH, mesh, data.shape[0], data.shape[1])
         if fused_allocation is None:
             # auto: the fused allocation kernel needs the TPU core PRNG;
             # single-chain conjugate Poisson-Gibbs is exactly its hot path
@@ -610,11 +638,23 @@ def fit(
         from ..parallel.ensemble import ChainEnsemble
 
         # GibbsSampler-only kwargs (e.g. save_all_samples, mesh G-sharding)
-        # silently route to the serial per-rank loop instead of raising a
-        # TypeError from the ensemble pass-through — drop-in compatibility
-        # with the reference's bayesNMF(rank_method='BIC') surface.
+        # route to the serial per-rank loop instead of raising a TypeError
+        # from the ensemble pass-through — drop-in compatibility with the
+        # reference's bayesNMF(rank_method='BIC') surface. The reroute is
+        # announced (a one-word kwarg turns one vmapped device program into
+        # len(ranks) sequential fits — ~4.9x slower at 8 ranks, BENCH_NOTES).
         supported = set(inspect.signature(ChainEnsemble.__init__).parameters)
-        if all(k in supported for k in kw):
+        unsupported = sorted(k for k in kw if k not in supported)
+        if unsupported:
+            import warnings
+
+            warnings.warn(
+                "fit(rank_method='BIC'): kwargs not supported by the vmapped "
+                f"parallel-BIC ensemble ({', '.join(unsupported)}); falling "
+                "back to the serial per-rank loop (one fit per rank — "
+                "substantially slower). Drop them or pass parallel_bic=False "
+                "to silence this.", stacklevel=2)
+        if not unsupported:
             ranks = sorted(int(r) for r in rank)
             N = max(ranks)
             masks = np.zeros((len(ranks), N), np.float32)

@@ -300,8 +300,15 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
         else:
             sig_mat = jnp.broadcast_to(sigmasq[None, :], (K, G))
         Mhat_no_n = Mhat - A_n * jnp.outer(P_n, E_n)
-        mu1 = m.dot_f32((data - Mhat_no_n) / sig_mat, E_n)
-        den = A_n * m.dot_f32(1.0 / sig_mat, E_n * E_n)
+        # mu1/den as shared-input reduces (not dots): XLA sibling-fuses
+        # reductions that read the same operands into ONE streaming pass
+        # over the (K, G) tensors, while each dot is a separate MXU op that
+        # re-reads its operands from HBM — at 96x25k the sweep is HBM-bound
+        # and the extra streams are the cost (BENCH_NOTES config-5 table)
+        resid = data - Mhat_no_n
+        inv_sig = 1.0 / sig_mat
+        mu1 = jnp.sum(resid * inv_sig * E_n[None, :], axis=1)
+        den = A_n * jnp.sum(inv_sig * (E_n * E_n)[None, :], axis=1)
         if spec.prior == "exponential":
             Lam_n = jax.lax.dynamic_index_in_dim(prior["Lambda_p"], n, axis=1, keepdims=False)
             den_s = jnp.maximum(den, _EPS)
@@ -338,8 +345,11 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
                 # state-dependent proposal variance sig' = max(Mhat_prop, ·)
                 # differs.
                 sig_r = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
-                mu1_r = m.dot_f32((data - Mhat_no_n) / sig_r, E_n)
-                den_r = A_n * m.dot_f32(1.0 / sig_r, E_n * E_n)
+                # reverse-conditional reductions share data/Mhat streams
+                # with lp_core's row-sum (sibling fusion): one pass, not three
+                inv_sig_r = 1.0 / sig_r
+                mu1_r = jnp.sum(resid * inv_sig_r * E_n[None, :], axis=1)
+                den_r = A_n * jnp.sum(inv_sig_r * (E_n * E_n)[None, :], axis=1)
                 if spec.prior == "exponential":
                     den_rs = jnp.maximum(den_r, _EPS)
                     mu_r = (mu1_r - Lam_n) / den_rs
@@ -431,8 +441,11 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
         else:
             sig_mat = jnp.broadcast_to(sigmasq[None, :], (K, G))
         Mhat_no_n = Mhat - A_n * jnp.outer(P_n, E_n)
-        mu1 = m.dot_f32(P_n, (data - Mhat_no_n) / sig_mat)  # (G,)
-        den = A_n * m.dot_f32(P_n * P_n, 1.0 / sig_mat)  # (G,)
+        # shared-input reduces instead of dots — see the P-sweep note
+        resid = data - Mhat_no_n
+        inv_sig = 1.0 / sig_mat
+        mu1 = jnp.sum(resid * inv_sig * P_n[:, None], axis=0)  # (G,)
+        den = A_n * jnp.sum(inv_sig * (P_n * P_n)[:, None], axis=0)  # (G,)
         if spec.prior == "exponential":
             Lam_n = jax.lax.dynamic_index_in_dim(prior["Lambda_e"], n, axis=0, keepdims=False)
             den_s = jnp.maximum(den, _EPS)
@@ -459,8 +472,9 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
             lp_core = data * jnp.log1p(d_lam / lam_old) - d_lam
             if spec.exact_mh:
                 sig_r = jnp.maximum(Mhat_prop, m.MHAT_FLOOR)
-                mu1_r = m.dot_f32(P_n, (data - Mhat_no_n) / sig_r)
-                den_r = A_n * m.dot_f32(P_n * P_n, 1.0 / sig_r)
+                inv_sig_r = 1.0 / sig_r
+                mu1_r = jnp.sum(resid * inv_sig_r * P_n[:, None], axis=0)
+                den_r = A_n * jnp.sum(inv_sig_r * (P_n * P_n)[:, None], axis=0)
                 if spec.prior == "exponential":
                     den_rs = jnp.maximum(den_r, _EPS)
                     mu_r = (mu1_r - Lam_n) / den_rs
@@ -515,6 +529,200 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
     E, Mhat, acc_E, n_nan = jax.lax.fori_loop(
         0, N, body, (params["E"], Mhat, acc_E, jnp.float32(0.0)))
     return E, Mhat, acc_E, n_nan
+
+
+# ---------------------------------------------------------------------------
+# streaming sweeps (large-G ensembles): Mhat recomputed in VMEM, never in HBM
+# ---------------------------------------------------------------------------
+
+
+def stream_sweep_P(spec: ModelSpec, data, params: dict, prior: dict, acc_P,
+                   key, accept_all):
+    """sweep_P without HBM-resident Mhat (poisson + exact-MH families only).
+
+    Per column, two streaming Pallas kernels (ops/pallas_stream_sweeps)
+    recompute the Mhat tile in VMEM from P and the E tile and emit only the
+    forward/reverse conditional reductions, so the per-column HBM traffic is
+    two reads of data + E instead of the XLA path's ~7 (C, K, G) streams
+    (sig, Mhat_no_n, Mhat_prop, the rank-1 update...). The sampling math —
+    conditional mean/variance, exact TruncNormal Hastings correction
+    (MH_Pn_poisson, sample_Pn.R:199-248), clamped-NaN fallback — is
+    identical to sweep_P's exact-MH branch; same key-split structure, so
+    the two paths draw matched randomness (pinned by
+    tests/test_stream_sweeps.py). Returns (P, acc_P, n_nan) — no Mhat.
+    """
+    from ..ops import pallas_stream_sweeps as S
+
+    E, A = params["E"], params["A"]
+    K, N = spec.K, spec.N
+    k_prior_all, k_u_all = jax.random.split(key)
+    P_prior = _prior_draw_P(spec, prior, k_prior_all)
+    U = jax.random.uniform(k_u_all, (3, N, K), jnp.float32,
+                           minval=jnp.float32(1.2e-38))
+
+    def body(n, carry):
+        P, acc_P, n_nan = carry
+        u_col = jax.lax.dynamic_index_in_dim(U, n, axis=1, keepdims=False)
+        A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
+        E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)
+        P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)
+        PA = P * A[None, :]
+
+        mu1, den_raw = S.pcol_stats(data, E, PA, E_n, P_n, A_n)
+        den = A_n * den_raw
+        if spec.prior == "exponential":
+            Lam_n = jax.lax.dynamic_index_in_dim(
+                prior["Lambda_p"], n, axis=1, keepdims=False)
+            den_s = jnp.maximum(den, _EPS)
+            mu = (mu1 - Lam_n) / den_s
+            var = 1.0 / den_s
+        else:  # truncnormal
+            Mu_n = jax.lax.dynamic_index_in_dim(
+                prior["Mu_p"], n, axis=1, keepdims=False)
+            Sq_n = jax.lax.dynamic_index_in_dim(
+                prior["Sigmasq_p"], n, axis=1, keepdims=False)
+            den2 = den + 1.0 / Sq_n
+            mu = (mu1 + Mu_n / Sq_n) / den2
+            var = 1.0 / den2
+        cond_draw = dist.truncnorm_nonneg_from_u(u_col[0], u_col[1], mu, var)
+
+        prior_col = jax.lax.dynamic_index_in_dim(
+            P_prior, n, axis=1, keepdims=False)
+        inactive_E = jnp.sum(E_n * E_n) <= 0.0
+        proposal = jnp.where(inactive_E, prior_col, cond_draw)
+
+        lp_row, mu1_r, den_raw_r = S.pcol_accept(
+            data, E, PA, E_n, P_n, A_n, proposal)
+        den_r = A_n * den_raw_r
+        if spec.prior == "exponential":
+            den_rs = jnp.maximum(den_r, _EPS)
+            mu_r = (mu1_r - Lam_n) / den_rs
+            var_r = 1.0 / den_rs
+            lprior_delta = -Lam_n * (proposal - P_n)
+        else:
+            den_r2 = den_r + 1.0 / Sq_n
+            mu_r = (mu1_r + Mu_n / Sq_n) / den_r2
+            var_r = 1.0 / den_r2
+            lprior_delta = (m.truncnorm_logpdf(proposal, Mu_n, Sq_n)
+                            - m.truncnorm_logpdf(P_n, Mu_n, Sq_n))
+        lq_fwd = m.truncnorm_logpdf(proposal, mu, var)
+        lq_rev = m.truncnorm_logpdf(P_n, mu_r, var_r)
+        log_ratio = lp_row + lprior_delta + lq_rev - lq_fwd
+        log_ratio = jnp.where(inactive_E, 0.0, log_ratio)
+
+        ratio_raw = jnp.minimum(jnp.exp(log_ratio), 1.0)
+        nan_mask = jnp.isnan(ratio_raw)
+        n_nan = n_nan + jnp.sum(nan_mask.astype(jnp.float32))
+        ratio = jnp.where(nan_mask, 0.0, ratio_raw)
+        u = u_col[2]
+        if accept_all is True:
+            take = jnp.ones((K,), bool)
+            ratio_rec = jnp.ones((K,))
+        elif accept_all is False:
+            take = u < ratio
+            ratio_rec = ratio
+        else:
+            take = jnp.where(accept_all, jnp.ones((K,), bool), u < ratio)
+            ratio_rec = jnp.where(accept_all, jnp.ones((K,)), ratio)
+        mh_col = jnp.where(take, proposal, P_n)
+        new_col = jnp.where(A_n == 0, prior_col, mh_col)
+        acc_P = acc_P.at[:, n].set(
+            jnp.where(A_n == 0, acc_P[:, n], ratio_rec))
+        P = jax.lax.dynamic_update_index_in_dim(P, new_col, n, axis=1)
+        return (P, acc_P, n_nan)
+
+    P, acc_P, n_nan = jax.lax.fori_loop(
+        0, N, body, (params["P"], acc_P, jnp.float32(0.0)))
+    return P, acc_P, n_nan
+
+
+def stream_sweep_E(spec: ModelSpec, data, params: dict, prior: dict, acc_E,
+                   key, accept_all):
+    """Streaming mirror of sweep_E over rows (MH_En_poisson); see
+    stream_sweep_P. Returns (E, acc_E, n_nan)."""
+    from ..ops import pallas_stream_sweeps as S
+
+    P, A = params["P"], params["A"]
+    N, G = spec.N, spec.G
+    k_prior_all, k_u_all = jax.random.split(key)
+    E_prior = _prior_draw_E(spec, prior, k_prior_all)
+    U = jax.random.uniform(k_u_all, (3, N, G), jnp.float32,
+                           minval=jnp.float32(1.2e-38))
+
+    def body(n, carry):
+        E, acc_E, n_nan = carry
+        u_row = jax.lax.dynamic_index_in_dim(U, n, axis=1, keepdims=False)
+        A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
+        P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)
+        E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)
+        PA = P * A[None, :]
+
+        mu1, den_raw = S.erow_stats(data, E, PA, E_n, P_n, A_n)
+        den = A_n * den_raw
+        if spec.prior == "exponential":
+            Lam_n = jax.lax.dynamic_index_in_dim(
+                prior["Lambda_e"], n, axis=0, keepdims=False)
+            den_s = jnp.maximum(den, _EPS)
+            mu = (mu1 - Lam_n) / den_s
+            var = 1.0 / den_s
+        else:
+            Mu_n = jax.lax.dynamic_index_in_dim(
+                prior["Mu_e"], n, axis=0, keepdims=False)
+            Sq_n = jax.lax.dynamic_index_in_dim(
+                prior["Sigmasq_e"], n, axis=0, keepdims=False)
+            den2 = den + 1.0 / Sq_n
+            mu = (mu1 + Mu_n / Sq_n) / den2
+            var = 1.0 / den2
+        cond_draw = dist.truncnorm_nonneg_from_u(u_row[0], u_row[1], mu, var)
+
+        prior_row = jax.lax.dynamic_index_in_dim(
+            E_prior, n, axis=0, keepdims=False)
+        inactive_P = jnp.sum(P_n * P_n) <= 0.0
+        proposal = jnp.where(inactive_P, prior_row, cond_draw)
+
+        lp_col, mu1_r, den_raw_r = S.erow_accept(
+            data, E, PA, E_n, P_n, A_n, proposal)
+        den_r = A_n * den_raw_r
+        if spec.prior == "exponential":
+            den_rs = jnp.maximum(den_r, _EPS)
+            mu_r = (mu1_r - Lam_n) / den_rs
+            var_r = 1.0 / den_rs
+            lprior_delta = -Lam_n * (proposal - E_n)
+        else:
+            den_r2 = den_r + 1.0 / Sq_n
+            mu_r = (mu1_r + Mu_n / Sq_n) / den_r2
+            var_r = 1.0 / den_r2
+            lprior_delta = (m.truncnorm_logpdf(proposal, Mu_n, Sq_n)
+                            - m.truncnorm_logpdf(E_n, Mu_n, Sq_n))
+        lq_fwd = m.truncnorm_logpdf(proposal, mu, var)
+        lq_rev = m.truncnorm_logpdf(E_n, mu_r, var_r)
+        log_ratio = lp_col + lprior_delta + lq_rev - lq_fwd
+        log_ratio = jnp.where(inactive_P, 0.0, log_ratio)
+
+        ratio_raw = jnp.minimum(jnp.exp(log_ratio), 1.0)
+        nan_mask = jnp.isnan(ratio_raw)
+        n_nan = n_nan + jnp.sum(nan_mask.astype(jnp.float32))
+        ratio = jnp.where(nan_mask, 0.0, ratio_raw)
+        u = u_row[2]
+        if accept_all is True:
+            take = jnp.ones((G,), bool)
+            ratio_rec = jnp.ones((G,))
+        elif accept_all is False:
+            take = u < ratio
+            ratio_rec = ratio
+        else:
+            take = jnp.where(accept_all, jnp.ones((G,), bool), u < ratio)
+            ratio_rec = jnp.where(accept_all, jnp.ones((G,)), ratio)
+        mh_row = jnp.where(take, proposal, E_n)
+        new_row = jnp.where(A_n == 0, prior_row, mh_row)
+        acc_E = acc_E.at[n, :].set(
+            jnp.where(A_n == 0, acc_E[n, :], ratio_rec))
+        E = jax.lax.dynamic_update_index_in_dim(E, new_row, n, axis=0)
+        return (E, acc_E, n_nan)
+
+    E, acc_E, n_nan = jax.lax.fori_loop(
+        0, N, body, (params["E"], acc_E, jnp.float32(0.0)))
+    return E, acc_E, n_nan
 
 
 # ---------------------------------------------------------------------------

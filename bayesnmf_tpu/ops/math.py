@@ -142,6 +142,24 @@ def padded_kl(Mh: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(Mp * (jnp.log(Mp) - jnp.log(Mh)))
 
 
+def metric_constants(likelihood: str, M: jnp.ndarray) -> dict:
+    """Data-only terms of the per-iteration metrics, hoisted out of the scan.
+
+    The Poisson log-factorial sum(lgamma(M+1)) (utils.R:100) and the
+    padded-KL entropy sum(Mp log Mp) (utils.R:467-471) depend only on the
+    data, yet the naive metrics row recomputes both every iteration — a full
+    (K, G) transcendental pass each (~150M redundant lgammas per ensemble
+    iteration at 64 chains x 96x25k). Computed once per chunk before the
+    lax.scan and threaded into ``_metrics_row``; under a G-sharded mesh the
+    reductions psum once per chunk instead of once per iteration.
+    """
+    Mp = jnp.maximum(M, 1e-6)
+    consts = {"mlogm_sum": jnp.sum(Mp * jnp.log(Mp))}
+    if likelihood == "poisson":
+        consts["lgamma_sum"] = jnp.sum(jax.lax.lgamma(M + 1.0))
+    return consts
+
+
 def bic(loglik: jnp.ndarray, n_params: jnp.ndarray, G: int) -> jnp.ndarray:
     """BIC = -2 loglik + n_params log(G) (utils.R:432)."""
     return -2.0 * loglik + n_params * jnp.log(jnp.float32(G))

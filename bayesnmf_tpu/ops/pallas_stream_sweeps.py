@@ -1,0 +1,225 @@
+"""Streaming Pallas kernels for the large-G ensemble MH sweeps (config 5).
+
+The XLA sweep path (models/updates.sweep_P/sweep_E) carries Mhat as HBM
+state: every column update streams Mhat several times (sig, Mhat_no_n,
+Mhat_prop, the final rank-1 update) on top of the data matrix. At ensemble
+scale (64 chains x 96x25k: 614 MB per (C, K, G) tensor) the iteration is
+pure HBM bandwidth — measured ~102 ms/iter, i.e. ~80+ GB of traffic.
+
+These kernels make the Mhat-typed traffic disappear: per column update, two
+grid-over-G-tiles kernels recompute the Mhat tile IN VMEM from P (K, N) and
+the E tile (N, Gt) — N broadcast-FMAs, VPU-cheap — and emit only the per-tile
+partial reductions (a (K, n_tiles) stub for P columns, a (1, G) row for E
+rows). HBM traffic per column drops to: read data + read E, twice. Mhat is
+no longer sampler state at all on this path (models/gibbs.py recomputes it
+once for the metrics row).
+
+The sampling math is IDENTICAL to updates.sweep_P/sweep_E exact-MH poisson
+path (MH_Pn_poisson, sample_Pn.R:199-248, with the exact TruncNormal
+Hastings correction): the same conditional mean/variance, the same reverse
+-conditional, the same clamped-NaN fallback — only the reduction provider
+changed. Equivalence is pinned by tests/test_stream_sweeps.py against the
+XLA path at matched keys.
+
+vmap-safety: no cross-grid accumulation and no program_id use — each tile
+writes its own output block, host code sums the (K, n_tiles) stubs — so
+vmapping over a chain axis just prepends a batch grid dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_FLOOR = 1e-6   # MHAT_FLOOR (ops/math.py) as a python float for the kernel
+_TINY = 1.2e-38
+
+
+def _mhat_tile(PA_ref, E, N):
+    """Recompute the Mhat tile (K, Gt) in VMEM: N broadcast FMAs."""
+    Mh = PA_ref[:, 0:1] * E[0:1, :]
+    for m in range(1, N):
+        Mh = Mh + PA_ref[:, m:m + 1] * E[m:m + 1, :]
+    return Mh
+
+
+def _gmask(G, Gt):
+    """(1, Gt) validity mask for the current tile (the last tile may be
+    ragged; Pallas pads out-of-bounds reads with undefined values, which
+    must not leak into the G reductions). ``program_id(0)`` is the declared
+    G grid axis even under vmap — pallas batching remaps program_id to the
+    user grid (verified; test_stream_sweeps pins the vmapped equivalence,
+    so a semantics change would fail loudly there)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, Gt), 1)
+    return (idx + pl.program_id(0) * Gt) < G
+
+
+def _pcol_stats_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
+                       an_ref, mu1_ref, den_ref):
+    """Forward-conditional partial sums for one P column over one G tile.
+
+    mu1[k] += sum_g (data - Mhat_no_n)[k,g] / sig[k,g] * E_n[g]
+    den[k] += sum_g E_n[g]^2 / sig[k,g]        (A_n applied host-side)
+    """
+    mask = _gmask(G, Gt)
+    data = data_ref[:]
+    E = E_ref[:]
+    en = en_ref[:]                       # (1, Gt)
+    pn = pn_ref[:]                       # (K, 1)
+    an = an_ref[0, 0]
+    Mh = _mhat_tile(PA_ref, E, N)
+    sig = jnp.maximum(Mh, _FLOOR)
+    inv = 1.0 / sig
+    resid = data - (Mh - an * pn * en)   # data - Mhat_no_n
+    mu1_ref[:] = jnp.sum(jnp.where(mask, resid * inv * en, 0.0),
+                         axis=1, keepdims=True)
+    den_ref[:] = jnp.sum(jnp.where(mask, inv * (en * en), 0.0),
+                         axis=1, keepdims=True)
+
+
+def _pcol_accept_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
+                        an_ref, prop_ref, lp_ref, mu1r_ref, denr_ref):
+    """Acceptance partial sums for one P column over one G tile: the Poisson
+    delta-loglik row-sum plus the reverse-conditional reductions (sig_r =
+    max(Mhat_prop, floor)), exactly as updates.sweep_P's exact-MH branch."""
+    mask = _gmask(G, Gt)
+    data = data_ref[:]
+    E = E_ref[:]
+    en = en_ref[:]
+    pn = pn_ref[:]
+    an = an_ref[0, 0]
+    prop = prop_ref[:]                   # (K, 1)
+    Mh = _mhat_tile(PA_ref, E, N)
+    Mh_no = Mh - an * pn * en
+    lam = jnp.maximum(Mh, _FLOOR)
+    lam_new = jnp.maximum(Mh_no + an * prop * en, _FLOOR)
+    d = lam_new - lam
+    lp = data * jnp.log1p(d / lam) - d
+    invr = 1.0 / lam_new                 # == 1 / sig_r
+    resid = data - Mh_no
+    lp_ref[:] = jnp.sum(jnp.where(mask, lp, 0.0), axis=1, keepdims=True)
+    mu1r_ref[:] = jnp.sum(jnp.where(mask, resid * invr * en, 0.0),
+                          axis=1, keepdims=True)
+    denr_ref[:] = jnp.sum(jnp.where(mask, invr * (en * en), 0.0),
+                          axis=1, keepdims=True)
+
+
+def _erow_stats_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
+                       an_ref, mu1_ref, den_ref):
+    """Forward-conditional sums for one E row over one G tile (reduction is
+    over K, entirely inside the tile — outputs are (1, Gt) blocks)."""
+    data = data_ref[:]
+    E = E_ref[:]
+    en = en_ref[:]
+    pn = pn_ref[:]
+    an = an_ref[0, 0]
+    Mh = _mhat_tile(PA_ref, E, N)
+    sig = jnp.maximum(Mh, _FLOOR)
+    inv = 1.0 / sig
+    resid = data - (Mh - an * pn * en)
+    mu1_ref[:] = jnp.sum(resid * inv * pn, axis=0, keepdims=True)
+    den_ref[:] = jnp.sum(inv * (pn * pn), axis=0, keepdims=True)
+
+
+def _erow_accept_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
+                        an_ref, prop_ref, lp_ref, mu1r_ref, denr_ref):
+    data = data_ref[:]
+    E = E_ref[:]
+    en = en_ref[:]
+    pn = pn_ref[:]
+    an = an_ref[0, 0]
+    prop = prop_ref[:]                   # (1, Gt)
+    Mh = _mhat_tile(PA_ref, E, N)
+    Mh_no = Mh - an * pn * en
+    lam = jnp.maximum(Mh, _FLOOR)
+    lam_new = jnp.maximum(Mh_no + an * pn * prop, _FLOOR)
+    d = lam_new - lam
+    lp = data * jnp.log1p(d / lam) - d
+    invr = 1.0 / lam_new
+    resid = data - Mh_no
+    lp_ref[:] = jnp.sum(lp, axis=0, keepdims=True)
+    mu1r_ref[:] = jnp.sum(resid * invr * pn, axis=0, keepdims=True)
+    denr_ref[:] = jnp.sum(invr * (pn * pn), axis=0, keepdims=True)
+
+
+def _tile(G: int, K: int) -> int:
+    """G tile: multiple of 128 keeping ~<= 5 MB live VMEM (data + E + Mh +
+    a couple of temps ~ (3K + N + 4) * Gt * 4 bytes, double-buffered)."""
+    per_g = (3 * K + 16) * 4
+    t = max((5 * 1024 * 1024) // per_g, 128)
+    t = (t // 128) * 128
+    return min(t, max(-(-G // 128) * 128, 128))
+
+
+def _specs(K, N, G, Gt, col: bool, with_prop: bool):
+    vmem = pltpu.VMEM
+    ins = [
+        pl.BlockSpec((K, Gt), lambda i: (0, i), memory_space=vmem),   # data
+        pl.BlockSpec((N, Gt), lambda i: (0, i), memory_space=vmem),   # E
+        pl.BlockSpec((K, N), lambda i: (0, 0), memory_space=vmem),    # PA
+        pl.BlockSpec((1, Gt), lambda i: (0, i), memory_space=vmem),   # en
+        pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=vmem),    # pn
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=vmem),    # an
+    ]
+    if with_prop:
+        ins.append(pl.BlockSpec((K, 1) if col else (1, Gt),
+                                (lambda i: (0, 0)) if col else
+                                (lambda i: (0, i)), memory_space=vmem))
+    if col:  # per-tile partial-sum stubs, summed host-side
+        out = pl.BlockSpec((K, 1), lambda i: (0, i), memory_space=vmem)
+        n_tiles = -(-G // Gt)
+        oshape = jax.ShapeDtypeStruct((K, n_tiles), jnp.float32)
+    else:
+        out = pl.BlockSpec((1, Gt), lambda i: (0, i), memory_space=vmem)
+        oshape = jax.ShapeDtypeStruct((1, G), jnp.float32)
+    n_out = 3 if with_prop else 2
+    return ins, [out] * n_out, [oshape] * n_out
+
+
+@functools.partial(jax.jit, static_argnames=("col", "with_prop"))
+def _run(data, E, PA, en, pn, an, prop, col: bool, with_prop: bool):
+    K, N = PA.shape
+    G = E.shape[1]
+    Gt = _tile(G, K)
+    ins, outs, oshapes = _specs(K, N, G, Gt, col, with_prop)
+    kern = {
+        (True, False): _pcol_stats_kernel,
+        (True, True): _pcol_accept_kernel,
+        (False, False): _erow_stats_kernel,
+        (False, True): _erow_accept_kernel,
+    }[(col, with_prop)]
+    args = [data, E, PA, en.reshape(1, G), pn.reshape(K, 1),
+            an.reshape(1, 1)]
+    if with_prop:
+        args.append(prop.reshape((K, 1) if col else (1, G)))
+    res = pl.pallas_call(
+        functools.partial(kern, N, G, Gt),
+        grid=(-(-G // Gt),),
+        in_specs=ins,
+        out_specs=outs,
+        out_shape=oshapes,
+        interpret=jax.devices()[0].platform != "tpu",
+    )(*args)
+    if col:
+        return tuple(r.sum(axis=1) for r in res)     # (K,)
+    return tuple(r.reshape(G) for r in res)          # (G,)
+
+
+def pcol_stats(data, E, PA, en, pn, an):
+    return _run(data, E, PA, en, pn, an, None, col=True, with_prop=False)
+
+
+def pcol_accept(data, E, PA, en, pn, an, prop):
+    return _run(data, E, PA, en, pn, an, prop, col=True, with_prop=True)
+
+
+def erow_stats(data, E, PA, en, pn, an):
+    return _run(data, E, PA, en, pn, an, None, col=False, with_prop=False)
+
+
+def erow_accept(data, E, PA, en, pn, an, prop):
+    return _run(data, E, PA, en, pn, an, prop, col=False, with_prop=True)

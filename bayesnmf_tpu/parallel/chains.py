@@ -42,9 +42,15 @@ def run_chunk_chains(spec: ModelSpec, data, hp: dict, states: dict, temps,
     drops P/A too (pure throughput mode).
     """
 
+    from ..ops import math as m
+
+    # data-only metric reductions: once per chunk, shared by every chain
+    consts = m.metric_constants(spec.likelihood, data)
+
     def one_chain(state, acc):
         def body(st, temp):
-            return gibbs.gibbs_step(spec, data, hp, st, temp, acc, record)
+            return gibbs.gibbs_step(spec, data, hp, st, temp, acc, record,
+                                    consts)
 
         return jax.lax.scan(body, state, temps)
 
@@ -68,11 +74,8 @@ def make_sharded_chain_runner(spec: ModelSpec, mesh, n_chains: int,
 
     st_sh = M.state_shardings(spec, mesh, chains=True)
     data_sh = M.data_sharding(mesh)
-    out_sh = M.sample_out_shardings(spec, mesh, chains=True)
-    if record == "metrics":
-        out_sh = {"metrics": out_sh["metrics"]}
-    elif not store_E:
-        out_sh = {k: v for k, v in out_sh.items() if k != "E"}
+    out_sh = M.sample_out_shardings(spec, mesh, chains=True, record=record,
+                                    store_E=store_E)
 
     def _init(hp, data, key):
         states = init_chain_states(spec, hp, data, key, n_chains)

@@ -94,9 +94,36 @@ class _ChainView:
         self.col_names = getattr(ensemble, "col_names", None)
         self.temp_sched = ensemble.temp_sched
         self.tracker = _ViewTracker(ensemble, chain)
-        self.MAP_metrics: list = []  # per-check MAP metrics are not kept
-        # per chain in an ensemble; trace_plot falls back to sample metrics
-        self._archive = None  # ensembles keep windows, not full archives
+
+    @property
+    def MAP_metrics(self):
+        """Per-convergence-check MAP-metric rows for this chain, built by the
+        ensemble's ``_check_convergence`` from the vectorized metrics — the
+        returned-sampler contract of the reference (bayesNMF.R:117-126;
+        update_MAP_metrics_, utils.R:356-397). ``trace_plot(MAP_means=True)``
+        renders these directly."""
+        return self._ens._MAP_metrics_per_chain[self.chain]
+
+    @property
+    def _archive(self):
+        """Full per-chain sample archive (``save_all_samples=True`` on the
+        ensemble): every recorded chunk, restricted to this chain, in the
+        single-chain archive format ``_gather_window``/``samples`` consume.
+        None when the ensemble keeps only the retained window."""
+        arch = self._ens._archive
+        if arch is None:
+            return None
+        out = []
+        for ch in arch:
+            pos = np.nonzero(ch["chain_ids"] == self.chain)[0]
+            if pos.size == 0:
+                continue
+            s = int(pos[0])
+            out.append({
+                k: (v if k == "start_iter"
+                    else jax.tree.map(lambda x: x[s], v))
+                for k, v in ch.items() if k != "chain_ids"})
+        return out
 
     # -- MAP ------------------------------------------------------------
 
@@ -218,37 +245,125 @@ class _ChainView:
     def save_object(self, path: Optional[str] = None):
         return self._ens.save_object(path)
 
+    # -- model math conveniences (parity with the serial sampler's R6
+    #    public surface, bayesNMF_sampler.R:8-541) ----------------------
+
+    def _live_slot(self):
+        pos = np.nonzero(self._ens._slots == self.chain)[0]
+        return int(pos[0]) if pos.size else None
+
+    def _current(self, group: str = "params") -> dict:
+        """Latest parameter values for this chain: the live device state
+        while resident, else the last recorded draw of its finalized
+        window (prior params need ``record_history='full'`` there)."""
+        s = self._live_slot()
+        if s is not None:
+            return {k: np.asarray(v[s])
+                    for k, v in self._ens.states[group].items()}
+        fin = self._ens._final_windows.get(self.chain)
+        if fin is None:
+            raise ValueError(
+                f"chain {self.chain} has no live state or finalized window")
+        if group == "params":
+            out = {"P": fin["P"][-1], "A": fin["A"][-1]}
+            for k in ("E", "sigmasq"):
+                if k in fin:
+                    out[k] = fin[k][-1]
+            return out
+        names = list(self._ens.states[group].keys())
+        if all(k in fin for k in names):
+            return {k: fin[k][-1] for k in names}
+        raise ValueError(
+            "prior params of a compacted chain are only recorded under "
+            "record_history='full'")
+
+    def get_Mhat(self, P=None, A=None, E=None):
+        from ..ops import math as m
+
+        p = self._current()
+        if E is None and "E" not in p:
+            raise ValueError(
+                "exposures not retained for this chain: rerun with "
+                "store_E=True or pass E explicitly")
+        return m.mhat(
+            jnp.asarray(P if P is not None else p["P"]),
+            jnp.asarray(A if A is not None else p["A"]),
+            jnp.asarray(E if E is not None else p["E"]),
+        )
+
+    def get_loglik(self, P=None, A=None, E=None, sigmasq=None,
+                   likelihood=None, return_matrix=False):
+        from ..ops import math as m
+
+        Mh = self.get_Mhat(P, A, E)
+        lik = likelihood or self.spec.likelihood
+        sq = sigmasq
+        if sq is None and self.spec.needs_sigmasq:
+            sq = self._current().get("sigmasq")
+        mat = m.loglik_mat(self.data, Mh, lik,
+                           jnp.asarray(sq) if sq is not None else None)
+        return mat if return_matrix else jnp.sum(mat)
+
+    def get_logpost(self, P=None, A=None, E=None, sigmasq=None):
+        from ..ops import math as m
+
+        p = self._current()
+        prior = self._current("prior")
+        ll = self.get_loglik(P, A, E, sigmasq)
+        return ll + m.logprior_PE(
+            jnp.asarray(P if P is not None else p["P"]),
+            jnp.asarray(E if E is not None else p["E"]),
+            self.spec.prior,
+            {k: jnp.asarray(v) for k, v in prior.items()},
+        )
+
     def _gather_window(self, end_iter: int, n_samples: int):
         """Stack this chain's last ``n_samples`` samples ending at
-        ``end_iter`` (finalized host window first, live device chunks else)."""
+        ``end_iter`` (finalized host window if it covers the request, live
+        device chunks else; the full archive serves far-past windows when the
+        ensemble was run with ``save_all_samples=True`` — the reference's
+        get_MAP(end_iter=) contract over all history, utils.R:194-212)."""
         lo = end_iter - n_samples + 1
         c = self.chain
         fin = self._ens._final_windows.get(c)
         if fin is not None:
             fe = fin["end_iter"]
             S = fin["A"].shape[0]
-            i0 = max(S - (fe - lo + 1), 0)
-            i1 = min(S - (fe - end_iter), S)
-            if i1 > i0:
-                E = fin.get("E")
-                return (jnp.asarray(fin["P"][i0:i1]),
-                        jnp.asarray(E[i0:i1]) if E is not None else None,
-                        np.asarray(fin["A"][i0:i1]))
-        Ps, Es, As = [], [], []
+            covers = lo >= fe - S + 1 and end_iter <= fe
+            if covers or self._archive is None:
+                i0 = max(S - (fe - lo + 1), 0)
+                i1 = min(S - (fe - end_iter), S)
+                if i1 > i0:
+                    E = fin.get("E")
+                    return (jnp.asarray(fin["P"][i0:i1]),
+                            jnp.asarray(E[i0:i1]) if E is not None else None,
+                            np.asarray(fin["A"][i0:i1]))
+        # per-chain chunk list: live retained window, or the archive when
+        # the request starts before the retained coverage
+        chunks = []
         for ch in self._ens._window:
             pos = np.nonzero(ch["chain_ids"] == c)[0]
             if pos.size == 0:
                 continue
             slot = int(pos[0])
-            n = ch["P"].shape[1]
+            d = {"P": ch["P"][slot], "A": ch["A"][slot],
+                 "start_iter": ch["start_iter"]}
+            if "E" in ch:
+                d["E"] = ch["E"][slot]
+            chunks.append(d)
+        if (not chunks or lo < chunks[0]["start_iter"]) and self._archive:
+            chunks = self._archive
+        Ps, Es, As = [], [], []
+        for ch in chunks:
+            n = ch["P"].shape[0]
             s, e = ch["start_iter"], ch["start_iter"] + n - 1
             if e < lo or s > end_iter:
                 continue
             i0, i1 = max(lo - s, 0), min(end_iter - s, n - 1) + 1
-            Ps.append(jnp.asarray(ch["P"][slot, i0:i1]))
-            As.append(np.asarray(ch["A"][slot, i0:i1]))
+            Ps.append(jnp.asarray(ch["P"][i0:i1]))
+            As.append(np.asarray(ch["A"][i0:i1]))
             if "E" in ch:
-                Es.append(jnp.asarray(ch["E"][slot, i0:i1]))
+                Es.append(jnp.asarray(ch["E"][i0:i1]))
         if not Ps:
             raise ValueError("no samples in requested window")
         E = jnp.concatenate(Es) if Es else None
@@ -284,6 +399,7 @@ class ChainEnsemble:
         compact: bool = True,
         verbosity: int = 1,
         periodic_save: bool = True,
+        save_all_samples: bool = False,
         A_masks=None,
     ):
         if record_history not in ("basic", "full"):
@@ -393,7 +509,17 @@ class ChainEnsemble:
         # rows for chains not resident when the chunk ran
         self._final_windows: dict = {}   # chain -> host sample window
         self._final_metrics: dict = {}   # chain -> (MAP_over, m) host rows
+        # full sample archive (every chunk snapshotted to host): unlocks
+        # label-switching diagnostics over the whole run and arbitrary
+        # far-past get_MAP(end_iter=) windows per chain — the ensemble analog
+        # of GibbsSampler's save_all_samples (bayesNMF_sampler.R:651-672 /
+        # postprocessing_visualizations.R:598-787 requires it). Off by
+        # default: at ensemble scale the archive is C x iters x (K+N) x G.
+        self._archive: Optional[list] = [] if save_all_samples else None
         self.MAP_per_chain: list = [None] * n_chains
+        # per-chain MAP-metric rows, one per convergence check (the serial
+        # driver's MAP_metrics contract, update_MAP_metrics_ utils.R:356-397)
+        self._MAP_metrics_per_chain: list = [[] for _ in range(n_chains)]
         self._reference_comparisons: dict = {}
         self.time = {}
 
@@ -458,6 +584,10 @@ class ChainEnsemble:
         chunk["start_iter"] = self.iter + 1
         chunk["chain_ids"] = self._slots.copy()
         self._window.append(chunk)
+        if self._archive is not None:
+            self._archive.append({
+                k: (v if k == "start_iter" else jax.tree.map(np.asarray, v))
+                for k, v in chunk.items()})
         max_chunks = -(-self.cc.MAP_over // self.cc.MAP_every) + 1
         if len(self._window) > max_chunks:
             self._window.pop(0)
@@ -486,6 +616,7 @@ class ChainEnsemble:
             vals = np.nanmean(win[:, :, col], axis=1)
         if self.cc.metric in ("loglikelihood", "logposterior"):
             vals = -vals
+        self._append_map_metric_rows(win)
         temps_all_one = bool(np.all(
             self.temp_sched[max(self.iter - self.cc.MAP_over, 1):
                             self.iter + 1] == 1.0))
@@ -501,6 +632,47 @@ class ChainEnsemble:
             "converged", 1)
         if self.periodic_save and self.output_dir:
             self.save_object()
+
+    def _append_map_metric_rows(self, win):
+        """Per-chain MAP-metric rows at this convergence check, built from
+        the vectorized window metrics (update_MAP_metrics_, utils.R:356-397;
+        the serial driver's contract at sampler.py::_map_check).
+
+        loglik/logpost/BIC are window means exactly like the serial row;
+        RMSE/KL are window means of the per-SAMPLE metrics rather than of a
+        freshly computed MAP estimate (computing C MAPs per check would cost
+        a window gather per chain — the sample means track the same signal).
+        Rows stop once a chain's run has ended (its ``_end_iter`` passed),
+        like the serial sampler stops at its own run end."""
+        G, K = self.spec.G, self.spec.K
+        mean_temp = float(np.mean(
+            self.temp_sched[max(self.iter - self.cc.MAP_over + 1, 1):
+                            self.iter + 1]))
+        for c in range(self.n_chains):
+            if 0 < self._end_iter[c] < self.iter:
+                continue  # chain's run ended at an earlier check
+            w = win[c]
+            w = w[~np.isnan(w[:, 0])]
+            if w.shape[0] == 0:
+                continue  # compacted away before this check
+            mean_ll = float(w[:, 3].mean())
+            rank = float(w[-1, 7])
+            n_par = rank * (G + K)
+            row = {
+                "iter": self.iter,
+                "RMSE": float(w[:, 1].mean()),
+                "KL": float(w[:, 2].mean()),
+                "loglikelihood": mean_ll,
+                "logposterior": float(w[:, 4].mean()),
+                "n_params": n_par,
+                "BIC": -2.0 * mean_ll + n_par * np.log(G),
+                "rank": rank,
+                "mean_temp": mean_temp,
+            }
+            if self.spec.MH:
+                row["P_mean_acceptance_rate"] = float(w[-1, 9])
+                row["E_mean_acceptance_rate"] = float(w[-1, 10])
+            self._MAP_metrics_per_chain[c].append(row)
 
     # ------------------------------------------------------------------
     # finalization + compaction

@@ -87,16 +87,42 @@ def state_shardings(spec, mesh: Mesh, chains: bool = True):
     return state
 
 
-def sample_out_shardings(spec, mesh: Mesh, chains: bool = True):
-    """Shardings of the per-chunk sample stack (leading scan axis unsharded)."""
+def sample_out_shardings(spec, mesh: Mesh, chains: bool = True,
+                         record: str = "basic", store_E: bool = True):
+    """Shardings of the per-chunk sample stack (leading scan axis unsharded).
+
+    The pytree must mirror exactly what ``gibbs.gibbs_step`` emits for the
+    given ``record`` mode (gibbs.py sample_out construction): 'metrics' emits
+    only the metrics rows; 'basic' adds P/E/A; 'full' additionally stacks the
+    prior subtree (same per-leaf G layout as ``state_shardings`` with an extra
+    scan axis), sigmasq, and the MH acceptance masks — the full-history
+    contract of the reference (record_sample, bayesNMF_sampler.R:651-672)
+    must hold on a mesh too, not just single-chip.
+    """
     c = (CHAIN_AXIS,) if chains else ()
 
     def ns(*axes):
         return NamedSharding(mesh, P(*c, None, *axes))
 
-    return {
-        "P": ns(None, None),
-        "E": ns(None, G_AXIS),
-        "A": ns(None),
-        "metrics": ns(None),
-    }
+    out = {"metrics": ns(None)}
+    if record == "metrics":
+        return out
+    out |= {"P": ns(None, None), "E": ns(None, G_AXIS), "A": ns(None)}
+    if record == "full":
+        st = state_shardings(spec, mesh, chains=chains)
+
+        def stack_axis(sh: NamedSharding) -> NamedSharding:
+            # insert the unsharded scan axis right after the chain prefix
+            parts = list(sh.spec)
+            parts.insert(1 if chains else 0, None)
+            return NamedSharding(mesh, P(*parts))
+
+        out["prior"] = jax.tree.map(stack_axis, st["prior"])
+        if spec.needs_sigmasq:
+            out["sigmasq"] = ns(G_AXIS)
+        if spec.MH:
+            out["acc_P"] = ns(None, None)
+            out["acc_E"] = ns(None, G_AXIS)
+    if not store_E:
+        del out["E"]
+    return out

@@ -86,6 +86,10 @@ def save_ensemble(ens, path: str):
         "slots": getattr(ens, "_slots", None),
         "final_windows": getattr(ens, "_final_windows", {}),
         "final_metrics": getattr(ens, "_final_metrics", {}),
+        "archive": getattr(ens, "_archive", None),
+        "MAP_metrics_per_chain": getattr(
+            ens, "_MAP_metrics_per_chain",
+            [[] for _ in range(ens.n_chains)]),
         "init_params": _to_host(ens._init_params)
         if getattr(ens, "_init_params", None) else None,
         "init_prior_params": _to_host(ens._init_prior_params)
@@ -124,6 +128,9 @@ def load_ensemble(cls, path: str, mesh=None):
         obj._slots = np.arange(obj.n_chains)
     obj._final_windows = p.get("final_windows", {})
     obj._final_metrics = p.get("final_metrics", {})
+    obj._archive = p.get("archive")
+    obj._MAP_metrics_per_chain = p.get(
+        "MAP_metrics_per_chain", [[] for _ in range(p["n_chains"])])
     obj._attach_mesh(mesh)
     obj.states = jax.tree.map(jnp.asarray, p["states"])
     if mesh is not None:

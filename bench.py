@@ -322,6 +322,68 @@ def config5(n_chains=64, G_big=25000):
             "unit": "chain-iterations/sec/chip", "vs_baseline": None}
 
 
+def bench_multiproc(n_chains=8, iters=200, K=96, N=8, G=2000):
+    """Measured cross-process chain-throughput: the same total work (8 chains
+    at 96x2000, 200 iterations) run as 1 process vs split across 2
+    jax.distributed processes (chains on the DCN axis, g inside one process
+    — the no-collectives chain-dp layout). CPU gloo backend, 2 virtual
+    devices per process.
+
+    CAVEAT (same as bench_scaling): both processes share this host's
+    physical cores, so the 2-process number is a lower bound — it measures
+    core contention plus any cross-process overhead, not interconnect
+    scaling. On real multi-host TPU the chain-dp hot loop has zero
+    collectives (compiled-HLO test), so the upper bound is linear."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "_multihost_worker.py")
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def run_procs(nprocs):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, worker, str(pid), str(port), str(nprocs),
+                 str(n_chains), str(iters), str(K), str(N), str(G),
+                 "--bench"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env, cwd=repo)
+            for pid in range(nprocs)
+        ]
+        tps = None
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            if p.returncode != 0:
+                raise RuntimeError(f"worker failed:\n{out}")
+            for line in out.splitlines():
+                if line.startswith("WORKER_TPS pid=0"):
+                    tps = float(line.split("tps=")[1])
+        return tps
+
+    tps1 = run_procs(1)
+    tps2 = run_procs(2)
+    return [
+        {"metric": f"multiproc_chain_iters_per_sec_{n_chains}chains_"
+                   f"{K}x{G}_MH_1proc", "value": round(tps1, 2),
+         "unit": "chain-iterations/sec", "vs_baseline": None},
+        {"metric": f"multiproc_chain_iters_per_sec_{n_chains}chains_"
+                   f"{K}x{G}_MH_2proc", "value": round(tps2, 2),
+         "unit": "chain-iterations/sec", "vs_baseline": None,
+         "scaling_vs_1proc": round(tps2 / tps1, 3)},
+    ]
+
+
 def bench_bic(ranks=range(1, 9), K=96, G=500):
     """Parallel vs serial min-BIC rank search wall-clock (warm programs).
 
@@ -513,6 +575,10 @@ def main():
         return
     if "--scaling" in sys.argv:
         for row in bench_scaling():
+            print(json.dumps(row))
+        return
+    if "--multiproc" in sys.argv:
+        for row in bench_multiproc():
             print(json.dumps(row))
         return
     if "--all" in sys.argv:

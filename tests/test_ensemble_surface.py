@@ -139,9 +139,10 @@ def test_fit_parallel_bic_threads_overrides_and_full_surface():
 def test_fit_parallel_bic_falls_back_to_serial_on_unsupported_kwargs():
     from bayesnmf_tpu.models.sampler import GibbsSampler, fit
 
-    out = fit(_sim(), [2, 3], rank_method="BIC", convergence_control=CC,
-              output_dir=None, post_warmup=40, seed=0,
-              save_all_samples=False)  # GibbsSampler-only kwarg
+    with pytest.warns(UserWarning, match="fused_allocation.*serial per-rank"):
+        out = fit(_sim(), [2, 3], rank_method="BIC", convergence_control=CC,
+                  output_dir=None, post_warmup=40, seed=0,
+                  fused_allocation=False)  # GibbsSampler-only kwarg
     assert isinstance(out["sampler"], GibbsSampler)
 
 
@@ -177,3 +178,83 @@ def test_compaction_preserves_per_chain_inference():
             cos = (P1[:, j] @ P2[:, j]) / (
                 np.linalg.norm(P1[:, j]) * np.linalg.norm(P2[:, j]) + 1e-12)
             assert cos > 0.98, (c, j, cos)
+
+
+def test_ensemble_view_map_metrics_and_math_getters(ens):
+    """The parallel-BIC/ensemble chain view carries the returned-sampler
+    contract (bayesNMF.R:117-126): per-check MAP-metric rows
+    (update_MAP_metrics_, utils.R:356-397) and the R6 math conveniences
+    (bayesNMF_sampler.R:8-541)."""
+    v = ens.chain(0)
+    assert len(v.MAP_metrics) >= 2
+    row = v.MAP_metrics[-1]
+    for k in ("iter", "RMSE", "KL", "loglikelihood", "logposterior",
+              "n_params", "BIC", "rank", "mean_temp",
+              "P_mean_acceptance_rate", "E_mean_acceptance_rate"):
+        assert k in row, k
+    iters = [r["iter"] for r in v.MAP_metrics]
+    assert iters == sorted(iters) and iters[0] % ens.cc.MAP_every == 0
+    assert row["BIC"] == pytest.approx(
+        -2.0 * row["loglikelihood"] + row["n_params"] * np.log(ens.spec.G))
+
+    Mh = np.asarray(v.get_Mhat())
+    assert Mh.shape == (ens.spec.K, ens.spec.G) and (Mh >= 0).all()
+    ll = float(v.get_loglik())
+    mat = np.asarray(v.get_loglik(return_matrix=True))
+    assert mat.shape == (ens.spec.K, ens.spec.G)
+    np.testing.assert_allclose(mat.sum(), ll, rtol=1e-5)
+    lp = float(v.get_logpost())
+    assert np.isfinite(ll) and np.isfinite(lp) and lp != ll
+
+
+def test_ensemble_view_trace_plot_map_means(ens):
+    from bayesnmf_tpu.utils import plotting
+
+    fig = plotting.trace_plot(ens.chain(1), MAP_means=True)
+    assert fig is not None
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+@pytest.fixture(scope="module")
+def ens_arch():
+    cc = ConvergenceControl(MAP_over=20, MAP_every=10, miniters=30,
+                            maxiters=60, Ninarow_nochange=2, Ninarow_nobest=3)
+    e = ChainEnsemble(_sim(seed=3), 3, n_chains=3, likelihood="poisson",
+                      prior="truncnormal", MH=True, convergence_control=cc,
+                      post_warmup=20, seed=1, output_dir=None,
+                      save_all_samples=True)
+    e.run()
+    return e
+
+
+def test_ensemble_full_archive_label_switching_and_far_past_window(ens_arch):
+    """save_all_samples=True on an ensemble unlocks the label-switching
+    diagnostic over ALL iterations (postprocessing_visualizations.R:598-787)
+    and arbitrary far-past get_MAP(end_iter=) windows per chain."""
+    from bayesnmf_tpu.utils import plotting
+
+    e = ens_arch
+    v = e.chain(0)
+    arch = v._archive
+    assert arch and arch[0]["start_iter"] == 2
+    # label-switching plot over the full archive (custom reference matrix)
+    rng = np.random.default_rng(0)
+    ref = rng.random((e.spec.K, 5)) + 0.1
+    fig = plotting.plot_label_switching(v, reference_P=ref)
+    assert fig is not None
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    # a window predating the retained chunks resolves through the archive
+    m = v.get_MAP(end_iter=12, n_samples=8)
+    assert m["idx"].max() <= 12 and len(m["idx"]) <= 8
+    # without an archive the same request on another ensemble raises
+    e2 = ChainEnsemble(_sim(seed=3), 3, n_chains=3, likelihood="poisson",
+                       prior="truncnormal", MH=True,
+                       convergence_control=e.cc, post_warmup=20, seed=1,
+                       output_dir=None)
+    e2.run()
+    with pytest.raises(ValueError):
+        plotting.plot_label_switching(e2.chain(0), reference_P=ref)

@@ -14,6 +14,8 @@ truncated-normal, broken slice sampler...) shifts these statistics by many
 standard errors.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,16 +86,21 @@ def stats_of(params, learning=False):
     return jnp.stack(s)
 
 
-def run_successive(spec, hp, seed=0):
-    """C chains x T successive-conditional transitions; returns per-chain mean
-    statistics (C, n_stats)."""
+def run_successive(spec, hp, seed=0, n_chains=None, n_steps=None):
+    """n_chains x n_steps successive-conditional transitions; returns
+    per-chain mean statistics (n_chains, n_stats). Dims come from ``spec``
+    so the same harness runs the production-scale gate below. None defaults
+    resolve to the module C/T AT CALL TIME (test_pallas overrides them)."""
+    n_chains = C if n_chains is None else n_chains
+    T = globals()["T"] if n_steps is None else n_steps
 
     def one_chain(key):
         k0, k1, kloop = jax.random.split(key, 3)
         # initial exact joint draw: params from prior via init_state
         d0, p0 = redraw_data(
             spec, k0,
-            gibbs.init_state(spec, hp, jnp.zeros((K, G)), k1)["params"])
+            gibbs.init_state(spec, hp, jnp.zeros((spec.K, spec.G)),
+                             k1)["params"])
         state = gibbs.init_state(spec, hp, d0, k1)
         state["params"] = {**state["params"],
                            **{k: v for k, v in p0.items()
@@ -111,7 +118,7 @@ def run_successive(spec, hp, seed=0):
         (_, _), s = jax.lax.scan(step, (state, d0), keys)
         return jnp.mean(s[T // 5:], axis=0)  # drop a short initial stretch
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), C)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
     return np.asarray(jax.jit(jax.vmap(one_chain))(keys))
 
 
@@ -119,7 +126,7 @@ def run_marginal(spec, hp, n=4096, seed=1):
     """Exact prior draws of (P, E) statistics (n, n_stats)."""
 
     def one(key):
-        st = gibbs.init_state(spec, hp, jnp.zeros((K, G)), key)
+        st = gibbs.init_state(spec, hp, jnp.zeros((spec.K, spec.G)), key)
         return stats_of(st["params"], spec.learning_rank)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
@@ -249,3 +256,32 @@ def test_geweke_joint_fused_truncnormal_inkernel_hypers():
     assert np.all(np.abs(z) < 6.0), (
         f"Geweke mismatch for fused truncnormal w/ in-kernel hypers: "
         f"z={z}, succ={m_s}, marg={m_m}")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("BAYESNMF_TEST_TPU", "0") != "1",
+    reason="production-scale joint test runs compiled on the real chip "
+           "(BAYESNMF_TEST_TPU=1)")
+def test_geweke_joint_fused_production_scale():
+    """Joint invariance of the fused kernel AT PRODUCTION SHAPE (K=96, N=8,
+    G=500 — the config-2 regime): catches scale-dependent numerics the K=3
+    tests cannot — the log1p ratio-form conditioning against sum(M)-amplified
+    transcendental error (pallas_sweeps.py ratio core), `_ndtri` tail
+    behavior under large |mu|/sd, and `log_ndtr` asymptotics at large |z|.
+
+    Fewer chains/transitions than the small-shape gates and a loosened 8
+    sigma bound: the goal is catching gross scale-dependent breakage, not
+    re-proving the kernel (that is the K=3 suite's job)."""
+    spec = ModelSpec(K=96, N=8, G=500, likelihood="poisson",
+                     prior="truncnormal", MH=True, fused_sweeps=True)
+    hp = fixed_hp(spec)
+    succ = run_successive(spec, hp, n_chains=16, n_steps=100)
+    marg = run_marginal(spec, hp, n=1024)
+    m_s = succ.mean(axis=0)
+    se_s = succ.std(axis=0, ddof=1) / np.sqrt(succ.shape[0])
+    m_m = marg.mean(axis=0)
+    se_m = marg.std(axis=0, ddof=1) / np.sqrt(marg.shape[0])
+    z = (m_s - m_m) / np.sqrt(se_s**2 + se_m**2)
+    assert np.all(np.abs(z) < 8.0), (
+        f"Geweke mismatch at production scale: z={z}, succ={m_s}, marg={m_m}")

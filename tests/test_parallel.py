@@ -81,6 +81,51 @@ def test_chain_ensemble_on_mesh():
     assert (ens.learned_ranks >= 0).all()
 
 
+def test_chain_ensemble_on_mesh_full_history():
+    """Regression: mesh + record_history='full' raised a jit out_shardings
+    pytree-structure error (sample_out_shardings missed the full-record keys
+    prior/acc_P/acc_E). The full-history contract (bayesNMF_sampler.R:651-672)
+    must hold on a mesh, not just single-chip."""
+    Mdat, _ = sim(seed=9, G=16)
+    cc = ConvergenceControl(MAP_over=20, MAP_every=10, miniters=20,
+                            maxiters=40, Ninarow_nochange=2, Ninarow_nobest=3)
+    mesh = M.make_mesh(n_chain=4, n_g=2)
+    ens = ChainEnsemble(Mdat, 3, n_chains=8, likelihood="poisson",
+                        prior="truncnormal", MH=True, post_warmup=10,
+                        convergence_control=cc, mesh=mesh, seed=5,
+                        record_history="full")
+    ens.run()
+    s = ens.chain(0).samples
+    for k in ("P", "E", "A", "Mu_p", "Sigmasq_p", "Mu_e", "Sigmasq_e",
+              "acc_P", "acc_E"):
+        assert k in s, k
+    assert np.isfinite(np.asarray(s["Mu_e"])).all()
+
+
+def test_sharded_runner_full_record_store_E_interplay():
+    """store_E=False x record='full' on a mesh: the E stack is pruned from
+    the out-sharding pytree exactly like the jitted sample stack, and a
+    sigmasq-carrying family (normal likelihood) round-trips its extra keys."""
+    Mdat, _ = sim(G=16)
+    spec = ModelSpec(K=12, N=3, G=16, likelihood="normal",
+                     prior="truncnormal", MH=False)
+    hp = default_hyperprior_params(spec, float(Mdat.mean()))
+    mesh = M.make_mesh(n_chain=4, n_g=2)
+    init_fn, run_fn = C.make_sharded_chain_runner(
+        spec, mesh, 8, record="full", store_E=False)
+    data = jnp.asarray(Mdat)
+    states = init_fn(hp, data, jax.random.PRNGKey(2))
+    temps = jnp.ones(3, jnp.float32)
+    states, samples = run_fn(data, hp, states, temps, jnp.zeros(8, bool))
+    assert "E" not in samples
+    for k in ("P", "A", "metrics", "prior", "sigmasq"):
+        assert k in samples, k
+    # prior stacks keep the state's G layout with an unsharded scan axis
+    assert samples["prior"]["Mu_e"].sharding.spec == jax.sharding.PartitionSpec(
+        "chain", None, None, "g")
+    assert np.isfinite(np.asarray(samples["sigmasq"])).all()
+
+
 def test_multihost_single_process_paths():
     from bayesnmf_tpu.parallel import multihost as MH
 

@@ -31,7 +31,8 @@ def test_two_process_distributed_chunk():
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port)],
+            # 2 procs x 4 chains, 50 iterations (a real chunk, not a smoke)
+            [sys.executable, worker, str(pid), str(port), "2", "4", "50"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=os.path.dirname(os.path.dirname(worker)))
         for pid in (0, 1)
