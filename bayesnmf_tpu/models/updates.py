@@ -359,8 +359,8 @@ def sweep_P(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_P, key, 
                     den_r2 = den_r + 1.0 / Sq_n
                     mu_r = (mu1_r + Mu_n / Sq_n) / den_r2
                     var_r = 1.0 / den_r2
-                    lprior_delta = (m.truncnorm_logpdf(proposal, Mu_n, Sq_n)
-                                    - m.truncnorm_logpdf(P_n, Mu_n, Sq_n))
+                    lprior_delta = m.truncnorm_logpdf_delta(
+                        proposal, P_n, Mu_n, Sq_n)
                 lq_fwd = m.truncnorm_logpdf(proposal, mu, var)
                 lq_rev = m.truncnorm_logpdf(P_n, mu_r, var_r)
                 log_ratio = (jnp.sum(lp_core, axis=1) + lprior_delta
@@ -484,8 +484,8 @@ def sweep_E(spec: ModelSpec, data, params: dict, prior: dict, Mhat, acc_E, key, 
                     den_r2 = den_r + 1.0 / Sq_n
                     mu_r = (mu1_r + Mu_n / Sq_n) / den_r2
                     var_r = 1.0 / den_r2
-                    lprior_delta = (m.truncnorm_logpdf(proposal, Mu_n, Sq_n)
-                                    - m.truncnorm_logpdf(E_n, Mu_n, Sq_n))
+                    lprior_delta = m.truncnorm_logpdf_delta(
+                        proposal, E_n, Mu_n, Sq_n)
                 lq_fwd = m.truncnorm_logpdf(proposal, mu, var)
                 lq_rev = m.truncnorm_logpdf(E_n, mu_r, var_r)
                 log_ratio = (jnp.sum(lp_core, axis=0) + lprior_delta
@@ -603,8 +603,8 @@ def stream_sweep_P(spec: ModelSpec, data, params: dict, prior: dict, acc_P,
             den_r2 = den_r + 1.0 / Sq_n
             mu_r = (mu1_r + Mu_n / Sq_n) / den_r2
             var_r = 1.0 / den_r2
-            lprior_delta = (m.truncnorm_logpdf(proposal, Mu_n, Sq_n)
-                            - m.truncnorm_logpdf(P_n, Mu_n, Sq_n))
+            lprior_delta = m.truncnorm_logpdf_delta(
+                proposal, P_n, Mu_n, Sq_n)
         lq_fwd = m.truncnorm_logpdf(proposal, mu, var)
         lq_rev = m.truncnorm_logpdf(P_n, mu_r, var_r)
         log_ratio = lp_row + lprior_delta + lq_rev - lq_fwd
@@ -692,8 +692,8 @@ def stream_sweep_E(spec: ModelSpec, data, params: dict, prior: dict, acc_E,
             den_r2 = den_r + 1.0 / Sq_n
             mu_r = (mu1_r + Mu_n / Sq_n) / den_r2
             var_r = 1.0 / den_r2
-            lprior_delta = (m.truncnorm_logpdf(proposal, Mu_n, Sq_n)
-                            - m.truncnorm_logpdf(E_n, Mu_n, Sq_n))
+            lprior_delta = m.truncnorm_logpdf_delta(
+                proposal, E_n, Mu_n, Sq_n)
         lq_fwd = m.truncnorm_logpdf(proposal, mu, var)
         lq_rev = m.truncnorm_logpdf(E_n, mu_r, var_r)
         log_ratio = lp_col + lprior_delta + lq_rev - lq_fwd

@@ -98,6 +98,18 @@ def _log_ndtr(x: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.special.log_ndtr(x)
 
 
+def truncnorm_logpdf_delta(x_new, x_old, mu, sigmasq):
+    """truncnorm_logpdf(x_new, mu, sigmasq) - truncnorm_logpdf(x_old, ...)
+    for x_new, x_old >= 0 (truncated draws by construction): the -log(sd)
+    and -log Phi(mu/sd) normalizers are identical and cancel, leaving the
+    pure quadratic. Saves two log_ndtr + two log evaluations per element —
+    the dominant VPU cost of the large-G MH acceptance rows (BENCH_NOTES
+    config-5 ablation table)."""
+    zn = x_new - mu
+    zo = x_old - mu
+    return -0.5 * (zn * zn - zo * zo) / sigmasq
+
+
 def exponential_logpdf(x: jnp.ndarray, rate: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x >= 0, jnp.log(rate) - rate * x, -jnp.inf)
 

@@ -55,6 +55,28 @@ from ..utils.logging import RunLogger
 from . import chains as chains_mod
 
 
+#: Smallest G at which the streaming sweep kernels are measured to beat the
+#: XLA sweep path for vmapped ensembles (BENCH_NOTES config-5 table,
+#: measured on-chip at C=64: XLA wins 1.14x at G=1000, streaming wins 1.03x
+#: at G=2000, 1.43x at G=8000, 1.60x at G=25000).
+_STREAM_SWEEPS_MIN_G = 2000
+
+
+def _auto_stream_sweeps(likelihood, prior, MH, mesh, fused_sweeps, G,
+                        platform=None):
+    """Measured-best default for the streaming sweep kernels
+    (ops/pallas_stream_sweeps): large-G poisson+MH ensembles on TPU, where
+    the XLA path's HBM-resident Mhat traffic dominates. Mesh-sharded runs
+    keep the XLA path (pallas_call under GSPMD partitioning of the G axis
+    is not supported)."""
+    platform = platform or jax.devices()[0].platform
+    return (likelihood == "poisson" and bool(MH)
+            and prior in ("truncnormal", "exponential")
+            and mesh is None and not fused_sweeps
+            and platform == "tpu"
+            and G >= _STREAM_SWEEPS_MIN_G)
+
+
 class _ViewTracker:
     """Per-chain convergence facts for a _ChainView (summarize_samplers and
     the trace plots read ``.converged`` / ``.converged_iter`` / ``.why``)."""
@@ -395,6 +417,7 @@ class ChainEnsemble:
         init_params: Optional[dict] = None,
         record_history: str = "basic",
         fused_sweeps: bool = False,
+        stream_sweeps: Optional[bool] = None,
         want_ci: bool = True,
         compact: bool = True,
         verbosity: int = 1,
@@ -426,10 +449,14 @@ class ChainEnsemble:
             raise ValueError(
                 "fused_sweeps is a per-chip VMEM-resident kernel; use the "
                 "XLA sweep path for mesh-sharded ensembles")
+        if stream_sweeps is None:
+            stream_sweeps = _auto_stream_sweeps(
+                likelihood, prior, MH, mesh, fused_sweeps, data.shape[1])
         self.spec = ModelSpec(
             K=data.shape[0], N=N, G=data.shape[1], likelihood=likelihood,
             prior=prior, MH=MH, learning_rank=learning_rank,
             rank_method=rank_method, fused_sweeps=fused_sweeps,
+            stream_sweeps=stream_sweeps,
         )
         self.cc = convergence_control or ConvergenceControl()
         # Optional per-chain FIXED inclusion masks (n_chains, N): chain c

@@ -103,3 +103,52 @@ def test_stream_sweeps_vmapped_over_chains():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_stream_sweeps_auto_selection_policy():
+    """Pin the measured-best ensemble default: streaming sweeps turn on for
+    large-G poisson+MH ensembles on TPU and nowhere else."""
+    from bayesnmf_tpu.parallel.ensemble import _auto_stream_sweeps
+
+    on = dict(likelihood="poisson", prior="truncnormal", MH=True, mesh=None,
+              fused_sweeps=False, G=25000, platform="tpu")
+    assert _auto_stream_sweeps(**on)
+    assert _auto_stream_sweeps(**{**on, "prior": "exponential"})
+    assert not _auto_stream_sweeps(**{**on, "G": 500})
+    assert not _auto_stream_sweeps(**{**on, "platform": "cpu"})
+    assert not _auto_stream_sweeps(**{**on, "mesh": object()})
+    assert not _auto_stream_sweeps(**{**on, "MH": False})
+    assert not _auto_stream_sweeps(**{**on, "fused_sweeps": True})
+
+    # spec-level guards
+    import pytest as _pytest
+
+    from bayesnmf_tpu.config import ModelError, ModelSpec
+
+    with _pytest.raises(ModelError):
+        ModelSpec(K=8, N=2, G=16, likelihood="poisson", prior="gamma",
+                  MH=False, stream_sweeps=True)
+    with _pytest.raises(ModelError):
+        ModelSpec(K=8, N=2, G=16, likelihood="poisson", prior="truncnormal",
+                  MH=True, stream_sweeps=True, fused_sweeps=True)
+
+
+def test_chain_ensemble_runs_on_stream_path():
+    """End-to-end ensemble on the streaming path (explicit opt-in at small G
+    — CPU interpret mode)."""
+    from bayesnmf_tpu.config import ConvergenceControl
+    from bayesnmf_tpu.parallel.ensemble import ChainEnsemble
+
+    rng = np.random.default_rng(5)
+    P = rng.dirichlet(np.ones(16) * 0.5, 3).T * 40
+    E = rng.gamma(2.0, 2.0, (3, 20))
+    M = rng.poisson(P @ E).astype(np.float32)
+    cc = ConvergenceControl(MAP_over=20, MAP_every=10, miniters=20,
+                            maxiters=40, Ninarow_nochange=2, Ninarow_nobest=3)
+    ens = ChainEnsemble(M, 3, n_chains=3, likelihood="poisson",
+                        prior="truncnormal", MH=True, convergence_control=cc,
+                        post_warmup=10, seed=0, stream_sweeps=True)
+    ens.run()
+    assert all(m_ is not None for m_ in ens.MAP_per_chain)
+    met = ens._metrics_all()
+    assert np.isfinite(met[np.isfinite(met[..., 0])][:, 3]).all()
