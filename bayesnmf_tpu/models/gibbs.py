@@ -155,6 +155,7 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
     # ensembles) takes the fused path too — vmap adds a grid dimension over
     # chains to the one Pallas kernel.
     fused = spec.fused_sweeps
+    pois_red = None  # streaming metric reductions (stream_sweeps fixed-rank)
     if spec.likelihood == "poisson" and not spec.MH:
         params["P"] = U.sample_P_poisson_gibbs(spec, prior, params, k_P)
         params["E"] = U.sample_E_poisson_gibbs(spec, prior, params, params["P"], k_E)
@@ -226,13 +227,24 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
             params["R"] = R_new.astype(jnp.int32)
     elif spec.stream_sweeps:
         # large-G ensembles: Mhat never lives in HBM — the streaming kernels
-        # (ops/pallas_stream_sweeps) recompute each tile in VMEM; one
-        # matmul rebuilds it afterwards for the metrics row / A-sweep
+        # (ops/pallas_stream_sweeps) recompute each tile in VMEM. Fixed-rank
+        # chains never materialize the (C, K, G) Mhat at all: the metrics
+        # row's data-dependent reductions come from one more streaming
+        # kernel, so the resident footprint is data + E-sized and the
+        # BASELINE 256-chain x 96x100k shape fits a single chip. Rank
+        # learning still rebuilds Mhat for the A sweep.
+        from ..ops import pallas_stream_sweeps as S
+
         params["P"], acc_P, nan_P = U.stream_sweep_P(
             spec, data, params, prior, acc_P, k_P, accept_all)
         params["E"], acc_E, nan_E = U.stream_sweep_E(
             spec, data, params, prior, acc_E, k_E, accept_all)
-        Mh = m.mhat(params["P"], params["A"], params["E"])
+        if spec.learning_rank:
+            Mh = m.mhat(params["P"], params["A"], params["E"])
+        else:
+            Mh = None
+            pois_red = S.chain_metrics(
+                data, params["E"], params["P"] * params["A"][None, :])
         na_events = nan_P + nan_E
     else:
         params["P"], Mh, acc_P, nan_P = U.sweep_P(
@@ -261,7 +273,7 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
         new_state["acc_E"] = acc_E
 
     metrics = _metrics_row(spec, data, params, prior, Mh, new_iter, temperature,
-                           acc_P, acc_E, na_events, metric_consts)
+                           acc_P, acc_E, na_events, metric_consts, pois_red)
     sample_out = {"metrics": metrics}
     if record != "metrics":
         sample_out |= {"P": params["P"], "E": params["E"], "A": params["A"]}
@@ -277,17 +289,26 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
 
 
 def _metrics_row(spec, data, params, prior, Mh, it, temperature, acc_P, acc_E,
-                 na_events=0.0, consts=None):
+                 na_events=0.0, consts=None, pois_red=None):
     """Per-iteration metrics (compute_metrics_, utils.R:412-455).
 
     ``consts`` carries the data-only reductions (ops.math.metric_constants),
     hoisted out of the scan by the chunk runners; when None (direct calls,
     e.g. snapshot_sample) they are computed inline — XLA CSEs the lgamma
     pass in a single-step program, so one-off callers lose nothing.
+    ``pois_red`` (stream path): the four streamed data-dependent sums from
+    ops/pallas_stream_sweeps.chain_metrics, replacing the Mh-consuming
+    reductions so Mh may be None.
     """
     if consts is None:
         consts = m.metric_constants(spec.likelihood, data)
-    if spec.likelihood == "poisson":
+    rmse_v = None
+    if spec.likelihood == "poisson" and pois_red is not None:
+        m_loglam, lam_sum, mp_loglam, sq_err = pois_red
+        loglik = m_loglam - lam_sum - consts["lgamma_sum"]
+        kl = consts["mlogm_sum"] - mp_loglam
+        rmse_v = jnp.sqrt(sq_err / (spec.K * spec.G))
+    elif spec.likelihood == "poisson":
         # shared log(max(Mhat, floor)) pass feeds BOTH the loglik and the
         # padded KL (the floors coincide: MHAT_FLOOR == the KL pad, 1e-6)
         lam = jnp.maximum(Mh, m.MHAT_FLOOR)
@@ -310,7 +331,7 @@ def _metrics_row(spec, data, params, prior, Mh, it, temperature, acc_P, acc_E,
         accE_mean = jnp.float32(1.0)
     return jnp.stack([
         it.astype(jnp.float32),
-        m.rmse(data, Mh),
+        rmse_v if rmse_v is not None else m.rmse(data, Mh),
         kl,
         loglik,
         logpost,

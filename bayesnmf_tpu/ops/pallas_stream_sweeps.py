@@ -169,6 +169,60 @@ def _erow_accept_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
     denr_ref[:] = jnp.sum(invr * (pn * pn), axis=0, keepdims=True)
 
 
+def _chain_metrics_kernel(N, G, Gt, data_ref, E_ref, PA_ref,
+                          mloglam_ref, lamsum_ref, mploglam_ref, sqerr_ref):
+    """Streaming per-chain metric reductions: the four data-dependent sums
+    of the per-iteration metrics row (ops/math poisson loglik, padded KL,
+    RMSE) computed without ever materializing Mhat in HBM — the stream
+    path's replacement for the (C, K, G) `mhat` the metrics row otherwise
+    forces (models/gibbs._metrics_row)."""
+    gi = pl.program_id(0)
+    mask = _gmask(G, Gt)
+    data = data_ref[:]
+    E = E_ref[:]
+    Mh = _mhat_tile(PA_ref, E, N)
+    lam = jnp.maximum(Mh, _FLOOR)
+    L = jnp.log(lam)
+    d = Mh - data
+
+    @pl.when(gi == 0)
+    def _init():
+        for r in (mloglam_ref, lamsum_ref, mploglam_ref, sqerr_ref):
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    mloglam_ref[:] += jnp.sum(jnp.where(mask, data * L, 0.0))
+    lamsum_ref[:] += jnp.sum(jnp.where(mask, lam, 0.0))
+    mploglam_ref[:] += jnp.sum(jnp.where(mask, jnp.maximum(data, 1e-6) * L,
+                                         0.0))
+    sqerr_ref[:] += jnp.sum(jnp.where(mask, d * d, 0.0))
+
+
+@jax.jit
+def chain_metrics(data, E, PA):
+    """(sum M log lam, sum lam, sum Mp log lam, sum (Mhat-M)^2) for one
+    chain, streaming data + E once. vmap over chains for ensembles."""
+    K, N = PA.shape
+    G = E.shape[1]
+    Gt = _tile(G, K)
+    vmem = pltpu.VMEM
+    ins = [
+        pl.BlockSpec((K, Gt), lambda i: (0, i), memory_space=vmem),
+        pl.BlockSpec((N, Gt), lambda i: (0, i), memory_space=vmem),
+        pl.BlockSpec((K, N), lambda i: (0, 0), memory_space=vmem),
+    ]
+    out = pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=vmem)
+    oshape = jax.ShapeDtypeStruct((1, 128), jnp.float32)
+    res = pl.pallas_call(
+        functools.partial(_chain_metrics_kernel, N, G, Gt),
+        grid=(-(-G // Gt),),
+        in_specs=ins,
+        out_specs=[out] * 4,
+        out_shape=[oshape] * 4,
+        interpret=jax.devices()[0].platform != "tpu",
+    )(data, E, PA)
+    return tuple(r[..., 0, 0] for r in res)
+
+
 def _tile(G: int, K: int) -> int:
     """G tile: multiple of 128 keeping ~<= 5 MB live VMEM (data + E + Mh +
     a couple of temps ~ (3K + N + 4) * Gt * 4 bytes, double-buffered)."""

@@ -333,11 +333,37 @@ def config5(n_chains=64, G_big=25000):
     # the round-4 reference point
     cips = run_path(True)
     cips_xla = run_path(False)
-    return {"metric": f"chain_iters_per_sec_{n_chains}chains_96x{G_big}_MH",
-            "value": round(cips, 2),
-            "unit": "chain-iterations/sec/chip", "vs_baseline": None,
-            "xla_path_chain_iters_per_sec": round(cips_xla, 2),
-            "stream_vs_xla_x": round(cips / cips_xla, 3)}
+    row = {"metric": f"chain_iters_per_sec_{n_chains}chains_96x{G_big}_MH",
+           "value": round(cips, 2),
+           "unit": "chain-iterations/sec/chip", "vs_baseline": None,
+           "xla_path_chain_iters_per_sec": round(cips_xla, 2),
+           "stream_vs_xla_x": round(cips / cips_xla, 3)}
+    # The FULL BASELINE config-5 shape (256 chains x 96x100k) fits one chip
+    # on the stream path — no (C, K, G) tensor exists anywhere in the
+    # program (Mhat is VMEM-tile-only; metrics stream too). Fewer iters:
+    # ~1 s per ensemble iteration at this size.
+    try:
+        spec = ModelSpec(K=96, N=8, G=100_000, likelihood="poisson",
+                         prior="truncnormal", MH=True, stream_sweeps=True)
+        data_f = _sim_data(seed=0, K=96, N=8, G=100_000, scale=50.0)
+        hp = default_hyperprior_params(spec, float(data_f.mean()))
+        d = jnp.asarray(data_f)
+        states = C.init_chain_states(spec, hp, d, jax.random.PRNGKey(0), 256)
+        iters = 10
+        temps = jnp.ones((iters,), jnp.float32)
+        acc = jnp.zeros((256,), bool)
+        states, samples = C.run_chunk_chains(spec, d, hp, states, temps, acc,
+                                             record="metrics")
+        _barrier(samples["metrics"])
+        t0 = time.perf_counter()
+        states, samples = C.run_chunk_chains(spec, d, hp, states, temps, acc,
+                                             record="metrics")
+        _barrier(samples["metrics"])
+        row["full_scale_256chains_96x100k_chain_iters_per_sec"] = round(
+            256 * iters / (time.perf_counter() - t0), 2)
+    except Exception as e:  # pragma: no cover - OOM guard on small chips
+        row["full_scale_256chains_96x100k_chain_iters_per_sec"] = str(e)[:80]
+    return row
 
 
 def bench_multiproc(n_chains=8, iters=200, K=96, N=8, G=2000):

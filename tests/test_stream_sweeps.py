@@ -152,3 +152,29 @@ def test_chain_ensemble_runs_on_stream_path():
     assert all(m_ is not None for m_ in ens.MAP_per_chain)
     met = ens._metrics_all()
     assert np.isfinite(met[np.isfinite(met[..., 0])][:, 3]).all()
+
+
+def test_stream_metrics_rows_match_xla_chunk():
+    """Full-chunk equivalence incl. the streaming metrics kernel: the same
+    keys drive both paths, so every metrics column must agree to
+    reduction-order tolerance (the stream path never materializes Mhat;
+    its loglik/KL/RMSE come from ops/pallas_stream_sweeps.chain_metrics)."""
+    from bayesnmf_tpu.parallel import chains as CH
+
+    rng = np.random.default_rng(2)
+    K, N, G, C = 16, 3, 150, 3
+    P = rng.dirichlet(np.ones(K) * 0.5, N).T * 40
+    E = rng.gamma(2.0, 2.0, (N, G))
+    data = jnp.asarray(rng.poisson(P @ E).astype(np.float32))
+    rows = {}
+    for stream in (False, True):
+        spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson",
+                         prior="truncnormal", MH=True, stream_sweeps=stream)
+        hp = default_hyperprior_params(spec, float(np.asarray(data).mean()))
+        states = CH.init_chain_states(spec, hp, data, jax.random.PRNGKey(3),
+                                      C)
+        temps = jnp.ones((5,), jnp.float32)
+        acc = jnp.zeros((C,), bool)
+        _, samples = CH.run_chunk_chains(spec, data, hp, states, temps, acc)
+        rows[stream] = np.asarray(samples["metrics"])
+    np.testing.assert_allclose(rows[True], rows[False], rtol=5e-4, atol=5e-4)
