@@ -226,25 +226,17 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
             params["A"] = A_new
             params["R"] = R_new.astype(jnp.int32)
     elif spec.stream_sweeps:
-        # large-G ensembles: Mhat never lives in HBM — the streaming kernels
-        # (ops/pallas_stream_sweeps) recompute each tile in VMEM. Fixed-rank
-        # chains never materialize the (C, K, G) Mhat at all: the metrics
-        # row's data-dependent reductions come from one more streaming
-        # kernel, so the resident footprint is data + E-sized and the
-        # BASELINE 256-chain x 96x100k shape fits a single chip. Rank
-        # learning still rebuilds Mhat for the A sweep.
-        from ..ops import pallas_stream_sweeps as S
-
+        # large-G ensembles: NO (C, K, G) tensor exists on this path — the
+        # streaming kernels (ops/pallas_stream_sweeps) recompute each Mhat
+        # tile in VMEM for the P/E sweeps, the inclusion sweep (SBFI/BFI),
+        # and the metrics-row reductions alike, so the resident footprint is
+        # data + E-sized and the BASELINE 256-chain x 96x100k shape fits a
+        # single chip (BENCH_NOTES "Config 5 attacked").
         params["P"], acc_P, nan_P = U.stream_sweep_P(
             spec, data, params, prior, acc_P, k_P, accept_all)
         params["E"], acc_E, nan_E = U.stream_sweep_E(
             spec, data, params, prior, acc_E, k_E, accept_all)
-        if spec.learning_rank:
-            Mh = m.mhat(params["P"], params["A"], params["E"])
-        else:
-            Mh = None
-            pois_red = S.chain_metrics(
-                data, params["E"], params["P"] * params["A"][None, :])
+        Mh = None  # the metrics reductions stream AFTER the (possible) A sweep
         na_events = nan_P + nan_E
     else:
         params["P"], Mh, acc_P, nan_P = U.sweep_P(
@@ -257,9 +249,19 @@ def gibbs_step(spec: ModelSpec, data, hp: dict, state: dict, temperature,
         na_events = jnp.float32(0.0)  # conjugate path: no clamped ratios
     if spec.learning_rank and not fused:
         params["R"] = U.sample_R(spec, params["A"], temperature, k_R)
-        params["A"], Mh, nan_A = U.sweep_A(
-            spec, data, params, params["R"], Mh, temperature, k_A)
+        if spec.stream_sweeps:
+            params["A"], nan_A = U.stream_sweep_A(
+                spec, data, params, params["R"], temperature, k_A)
+        else:
+            params["A"], Mh, nan_A = U.sweep_A(
+                spec, data, params, params["R"], Mh, temperature, k_A)
         na_events = na_events + nan_A
+
+    if spec.stream_sweeps:
+        from ..ops import pallas_stream_sweeps as S
+
+        pois_red = S.chain_metrics(
+            data, params["E"], params["P"] * params["A"][None, :])
 
     if spec.needs_Z:
         params["Zsum_g"], params["Zsum_k"] = U.sample_Z_sums(spec, data, params, k_Z)

@@ -835,6 +835,43 @@ def sweep_A(spec: ModelSpec, data, params: dict, R, Mhat, temperature, key):
     return A, Mhat, n_nan
 
 
+def stream_sweep_A(spec: ModelSpec, data, params: dict, R, temperature, key):
+    """sweep_A without HBM-resident Mhat (poisson stream path): the per
+    -column loglik delta comes from one streaming kernel
+    (ops/pallas_stream_sweeps.acol_delta); everything else — the
+    SBFI/BFI penalty, tempering, the NaN fallback, the Bernoulli draw and
+    key structure — mirrors sweep_A exactly. Returns (A, n_nan)."""
+    from ..ops import pallas_stream_sweeps as S
+
+    P, E = params["P"], params["E"]
+    K, N, G = spec.K, spec.N, spec.G
+    keys = jax.random.split(key, N)
+    p1 = prior_prob_1(R.astype(jnp.float32), N)
+    logit_p1 = jnp.log(p1) - jnp.log1p(-p1)
+    sbfi_pen = (G + K) * jnp.log(jnp.float32(G)) / 2.0
+
+    def body(n, carry):
+        A, n_nan = carry
+        A_n = jax.lax.dynamic_index_in_dim(A, n, keepdims=False)
+        P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)
+        E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)
+        delta = S.acol_delta(data, E, P * A[None, :], E_n, P_n, A_n)
+        if spec.rank_method == "SBFI":
+            delta = delta - sbfi_pen
+        log_odds = logit_p1 + temperature * delta
+        p = jax.nn.sigmoid(log_odds)
+        is_nan = jnp.isnan(p)
+        n_nan = n_nan + is_nan.astype(jnp.float32)
+        p = jnp.where(is_nan, 0.5, p)
+        a_new = jax.random.bernoulli(keys[n], p).astype(jnp.float32)
+        A = A.at[n].set(a_new)
+        return (A, n_nan)
+
+    A, n_nan = jax.lax.fori_loop(
+        0, N, body, (params["A"], jnp.float32(0.0)))
+    return A, n_nan
+
+
 # ---------------------------------------------------------------------------
 # sigmasq (normal likelihood) — maps C11
 # ---------------------------------------------------------------------------

@@ -169,6 +169,62 @@ def _erow_accept_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
     denr_ref[:] = jnp.sum(invr * (pn * pn), axis=0, keepdims=True)
 
 
+def _acol_delta_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
+                       an_ref, delta_ref):
+    """Streaming inclusion-sweep delta for one A column (sample_An,
+    sample_params.R:101-166): sum over the tile of
+    data*log1p(d_lam/lam_off) - d_lam with lam_on/off = max(Mhat_off
+    [+ contrib], floor) — the single reduction sweep_A needs per column,
+    without an HBM-resident Mhat."""
+    gi = pl.program_id(0)
+    mask = _gmask(G, Gt)
+    data = data_ref[:]
+    E = E_ref[:]
+    en = en_ref[:]
+    pn = pn_ref[:]
+    an = an_ref[0, 0]
+    Mh = _mhat_tile(PA_ref, E, N)
+    contrib = pn * en
+    Mh_off = Mh - an * contrib
+    lam_off = jnp.maximum(Mh_off, _FLOOR)
+    lam_on = jnp.maximum(Mh_off + contrib, _FLOOR)
+    d = lam_on - lam_off
+
+    @pl.when(gi == 0)
+    def _init():
+        delta_ref[:] = jnp.zeros(delta_ref.shape, delta_ref.dtype)
+
+    delta_ref[:] += jnp.sum(
+        jnp.where(mask, data * jnp.log1p(d / lam_off) - d, 0.0))
+
+
+@jax.jit
+def acol_delta(data, E, PA, en, pn, an):
+    """loglik(A_n=1) - loglik(A_n=0) for one inclusion column, streamed."""
+    K, N = PA.shape
+    G = E.shape[1]
+    Gt = _tile(G, K)
+    vmem = pltpu.VMEM
+    ins = [
+        pl.BlockSpec((K, Gt), lambda i: (0, i), memory_space=vmem),
+        pl.BlockSpec((N, Gt), lambda i: (0, i), memory_space=vmem),
+        pl.BlockSpec((K, N), lambda i: (0, 0), memory_space=vmem),
+        pl.BlockSpec((1, Gt), lambda i: (0, i), memory_space=vmem),
+        pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=vmem),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=vmem),
+    ]
+    res = pl.pallas_call(
+        functools.partial(_acol_delta_kernel, N, G, Gt),
+        grid=(-(-G // Gt),),
+        in_specs=ins,
+        out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(data, E, PA, en.reshape(1, G), pn.reshape(K, 1), an.reshape(1, 1))
+    return res[..., 0, 0]
+
+
 def _chain_metrics_kernel(N, G, Gt, data_ref, E_ref, PA_ref,
                           mloglam_ref, lamsum_ref, mploglam_ref, sqerr_ref):
     """Streaming per-chain metric reductions: the four data-dependent sums

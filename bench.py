@@ -14,8 +14,11 @@ Other modes (each prints one JSON line per config):
   --config 4   PCAWG-scale 96x2780 end-to-end fit + COSMIC ensemble
                assignment wall-clock
   --config 5   many-chain x large-G throughput on one chip (metrics-only
-               recording; the full 256x100k config is a multi-host pod
-               target — see BENCH_NOTES.md for the virtual-mesh scaling table)
+               recording; streaming vs XLA path, plus the FULL 256-chain x
+               96x100k SBFI shape — single-chip since round 5's streaming
+               kernels; multi-host is pure scale-out, see BENCH_NOTES.md)
+  --multiproc  measured 1-process vs 2-process chain throughput
+               (jax.distributed, CPU gloo)
   --bic        parallel (one vmapped program) vs serial min-BIC rank-search
                wall-clock speedup at 8 candidate ranks, 96x500
   --chains N   N-chain throughput at config-2 size
@@ -338,13 +341,15 @@ def config5(n_chains=64, G_big=25000):
            "unit": "chain-iterations/sec/chip", "vs_baseline": None,
            "xla_path_chain_iters_per_sec": round(cips_xla, 2),
            "stream_vs_xla_x": round(cips / cips_xla, 3)}
-    # The FULL BASELINE config-5 shape (256 chains x 96x100k) fits one chip
-    # on the stream path — no (C, K, G) tensor exists anywhere in the
-    # program (Mhat is VMEM-tile-only; metrics stream too). Fewer iters:
-    # ~1 s per ensemble iteration at this size.
+    # The FULL BASELINE config-5 spec — 256 vmapped chains x 96x100k, SBFI —
+    # fits one chip on the stream path: no (C, K, G) tensor exists anywhere
+    # in the program (Mhat is VMEM-tile-only for the P/E sweeps, the
+    # inclusion sweep, and the metrics row alike). Fewer iters: ~1.2 s per
+    # ensemble iteration at this size.
     try:
         spec = ModelSpec(K=96, N=8, G=100_000, likelihood="poisson",
-                         prior="truncnormal", MH=True, stream_sweeps=True)
+                         prior="truncnormal", MH=True, learning_rank=True,
+                         rank_method="SBFI", stream_sweeps=True)
         data_f = _sim_data(seed=0, K=96, N=8, G=100_000, scale=50.0)
         hp = default_hyperprior_params(spec, float(data_f.mean()))
         d = jnp.asarray(data_f)
@@ -359,10 +364,10 @@ def config5(n_chains=64, G_big=25000):
         states, samples = C.run_chunk_chains(spec, d, hp, states, temps, acc,
                                              record="metrics")
         _barrier(samples["metrics"])
-        row["full_scale_256chains_96x100k_chain_iters_per_sec"] = round(
+        row["full_scale_256chains_96x100k_SBFI_chain_iters_per_sec"] = round(
             256 * iters / (time.perf_counter() - t0), 2)
     except Exception as e:  # pragma: no cover - OOM guard on small chips
-        row["full_scale_256chains_96x100k_chain_iters_per_sec"] = str(e)[:80]
+        row["full_scale_256chains_96x100k_SBFI_chain_iters_per_sec"] = str(e)[:80]
     return row
 
 

@@ -178,3 +178,55 @@ def test_stream_metrics_rows_match_xla_chunk():
         _, samples = CH.run_chunk_chains(spec, data, hp, states, temps, acc)
         rows[stream] = np.asarray(samples["metrics"])
     np.testing.assert_allclose(rows[True], rows[False], rtol=5e-4, atol=5e-4)
+
+
+def test_stream_sweep_A_matches_xla():
+    """Inclusion-sweep equivalence at matched keys: the streamed per-column
+    loglik delta must reproduce sweep_A's decisions (same key structure,
+    same penalty/tempering/fallback math)."""
+    for rm in ("SBFI", "BFI"):
+        spec, data, state = _setup(G=150)
+        spec = ModelSpec(K=spec.K, N=spec.N, G=spec.G, likelihood="poisson",
+                         prior="truncnormal", MH=True, learning_rank=True,
+                         rank_method=rm)
+        hp = default_hyperprior_params(spec, float(np.asarray(data).mean()))
+        st = gibbs.init_state(spec, hp, data, jax.random.PRNGKey(1))
+        params = st["params"]
+        key = jax.random.PRNGKey(21)
+        R = jnp.int32(2)
+        Mh = m.mhat(params["P"], params["A"], params["E"])
+        A1, _, nn1 = U.sweep_A(spec, data, params, R, Mh, jnp.float32(0.7),
+                               key)
+        A2, nn2 = U.stream_sweep_A(spec, data, params, R, jnp.float32(0.7),
+                                   key)
+        np.testing.assert_array_equal(np.asarray(A1), np.asarray(A2)), rm
+        assert float(nn1) == float(nn2)
+
+
+def test_stream_sbfi_chunk_runs_and_matches():
+    """Full SBFI chunk on the stream path matches the XLA path draw-for-draw
+    (rank trace, metrics) — the BASELINE config-5 family (SBFI at large G)
+    is stream-capable end to end."""
+    from bayesnmf_tpu.parallel import chains as CH
+
+    rng = np.random.default_rng(4)
+    K, N, G, C = 16, 4, 140, 2
+    P = rng.dirichlet(np.ones(K) * 0.5, 2).T * 40
+    E = rng.gamma(2.0, 2.0, (2, G))
+    data = jnp.asarray(rng.poisson(P @ E).astype(np.float32))
+    rows = {}
+    for stream in (False, True):
+        spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson",
+                         prior="truncnormal", MH=True, learning_rank=True,
+                         rank_method="SBFI", stream_sweeps=stream)
+        hp = default_hyperprior_params(spec, float(np.asarray(data).mean()))
+        states = CH.init_chain_states(spec, hp, data, jax.random.PRNGKey(6),
+                                      C)
+        temps = jnp.asarray(gibbs.temp_schedule(6, 3))
+        acc = jnp.ones((C,), bool)
+        _, samples = CH.run_chunk_chains(spec, data, hp, states, temps, acc)
+        rows[stream] = np.asarray(samples["metrics"])
+    # identical rank decisions; metric values match to reduction tolerance
+    np.testing.assert_array_equal(rows[True][..., 7], rows[False][..., 7])
+    np.testing.assert_allclose(rows[True][..., 1:5], rows[False][..., 1:5],
+                               rtol=5e-4, atol=5e-4)
