@@ -449,6 +449,12 @@ class ChainEnsemble:
             raise ValueError(
                 "fused_sweeps is a per-chip VMEM-resident kernel; use the "
                 "XLA sweep path for mesh-sharded ensembles")
+        if stream_sweeps and mesh is not None:
+            raise ValueError(
+                "stream_sweeps kernels do not partition over a G-sharded "
+                "mesh; use the XLA sweep path for mesh-sharded ensembles "
+                "(chain-parallel scale-out needs no mesh: chains vmap on "
+                "each chip and split across processes)")
         if stream_sweeps is None:
             stream_sweeps = _auto_stream_sweeps(
                 likelihood, prior, MH, mesh, fused_sweeps, data.shape[1])
