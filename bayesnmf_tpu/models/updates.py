@@ -568,7 +568,7 @@ def stream_sweep_P(spec: ModelSpec, data, params: dict, prior: dict, acc_P,
         P_n = jax.lax.dynamic_index_in_dim(P, n, axis=1, keepdims=False)
         PA = P * A[None, :]
 
-        mu1, den_raw = S.pcol_stats(data, E, PA, E_n, P_n, A_n)
+        mu1, den_raw = S.pcol_stats(data, E, PA, E_n, A_n * P_n)
         den = A_n * den_raw
         if spec.prior == "exponential":
             Lam_n = jax.lax.dynamic_index_in_dim(
@@ -592,7 +592,7 @@ def stream_sweep_P(spec: ModelSpec, data, params: dict, prior: dict, acc_P,
         proposal = jnp.where(inactive_E, prior_col, cond_draw)
 
         lp_row, mu1_r, den_raw_r = S.pcol_accept(
-            data, E, PA, E_n, P_n, A_n, proposal)
+            data, E, PA, E_n, A_n * P_n, A_n * proposal)
         den_r = A_n * den_raw_r
         if spec.prior == "exponential":
             den_rs = jnp.maximum(den_r, _EPS)
@@ -657,7 +657,7 @@ def stream_sweep_E(spec: ModelSpec, data, params: dict, prior: dict, acc_E,
         E_n = jax.lax.dynamic_index_in_dim(E, n, axis=0, keepdims=False)
         PA = P * A[None, :]
 
-        mu1, den_raw = S.erow_stats(data, E, PA, E_n, P_n, A_n)
+        mu1, den_raw = S.erow_stats(data, E, PA, A_n * E_n, P_n)
         den = A_n * den_raw
         if spec.prior == "exponential":
             Lam_n = jax.lax.dynamic_index_in_dim(
@@ -681,7 +681,7 @@ def stream_sweep_E(spec: ModelSpec, data, params: dict, prior: dict, acc_E,
         proposal = jnp.where(inactive_P, prior_row, cond_draw)
 
         lp_col, mu1_r, den_raw_r = S.erow_accept(
-            data, E, PA, E_n, P_n, A_n, proposal)
+            data, E, PA, A_n * E_n, P_n, A_n * proposal)
         den_r = A_n * den_raw_r
         if spec.prior == "exponential":
             den_rs = jnp.maximum(den_r, _EPS)

@@ -63,103 +63,119 @@ def _gmask(G, Gt):
     return (idx + pl.program_id(0) * Gt) < G
 
 
-def _pcol_stats_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
-                       an_ref, mu1_ref, den_ref):
+def _acc_guard(G, Gt, gi, init_refs, accum):
+    """Zero the accumulators on the first tile, then run ``accum`` with the
+    identity weight on interior tiles and the ragged-edge mask on the last
+    (the mask selects are elided entirely when Gt divides G — the kernels
+    are VPU-bound, so every per-element op matters)."""
+
+    @pl.when(gi == 0)
+    def _init():
+        for r in init_refs:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    if G % Gt == 0:
+        accum(lambda x: x)
+    else:
+        last = pl.num_programs(0) - 1
+        mask = _gmask(G, Gt)
+
+        @pl.when(gi < last)
+        def _interior():
+            accum(lambda x: x)
+
+        @pl.when(gi == last)
+        def _edge():
+            accum(lambda x: jnp.where(mask, x, 0.0))
+
+
+def _pcol_stats_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pns_ref,
+                       mu1_ref, den_ref):
     """Forward-conditional partial sums for one P column over one G tile.
 
     mu1[k] += sum_g (data - Mhat_no_n)[k,g] / sig[k,g] * E_n[g]
     den[k] += sum_g E_n[g]^2 / sig[k,g]        (A_n applied host-side)
+
+    ``pns`` is A_n * P_n, pre-scaled by the driver — the A_n multiply
+    vanishes from the per-element work.
+
+    The (K,) accumulators live as (K, 128) lane-broadcast blocks (Mosaic
+    requires 128-multiple or full-dim lane blocks) revisited by every grid
+    step (sequential on TPU); the host reads lane 0.
     """
     gi = pl.program_id(0)
-    mask = _gmask(G, Gt)
     data = data_ref[:]
     E = E_ref[:]
-    en = en_ref[:]                       # (1, Gt)
-    pn = pn_ref[:]                       # (K, 1)
-    an = an_ref[0, 0]
+    en = en_ref[:]                       # (1, Gt) — raw E_n (weight)
+    pns = pns_ref[:]                     # (K, 1)  — A_n * P_n
     Mh = _mhat_tile(PA_ref, E, N)
-    sig = jnp.maximum(Mh, _FLOOR)
-    inv = 1.0 / sig
-    resid = data - (Mh - an * pn * en)   # data - Mhat_no_n
+    inv = 1.0 / jnp.maximum(Mh, _FLOOR)
+    resid = data - (Mh - pns * en)       # data - Mhat_no_n
 
-    # Mosaic requires 128-multiple (or full-dim) lane blocks, so the (K,)
-    # accumulators live as (K, 128) lane-broadcast blocks revisited by every
-    # grid step (sequential on TPU); the host reads lane 0.
-    @pl.when(gi == 0)
-    def _init():
-        mu1_ref[:] = jnp.zeros(mu1_ref.shape, mu1_ref.dtype)
-        den_ref[:] = jnp.zeros(den_ref.shape, den_ref.dtype)
+    def accum(w):
+        mu1_ref[:] += jnp.sum(w(resid * inv * en), axis=1, keepdims=True)
+        den_ref[:] += jnp.sum(w(inv * (en * en)), axis=1, keepdims=True)
 
-    mu1_ref[:] += jnp.sum(jnp.where(mask, resid * inv * en, 0.0),
-                          axis=1, keepdims=True)
-    den_ref[:] += jnp.sum(jnp.where(mask, inv * (en * en), 0.0),
-                          axis=1, keepdims=True)
+    _acc_guard(G, Gt, gi, (mu1_ref, den_ref), accum)
 
 
-def _pcol_accept_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
-                        an_ref, prop_ref, lp_ref, mu1r_ref, denr_ref):
+def _pcol_accept_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pns_ref,
+                        props_ref, lp_ref, mu1r_ref, denr_ref):
     """Acceptance partial sums for one P column over one G tile: the Poisson
     delta-loglik row-sum plus the reverse-conditional reductions (sig_r =
-    max(Mhat_prop, floor)), exactly as updates.sweep_P's exact-MH branch."""
+    max(Mhat_prop, floor)), exactly as updates.sweep_P's exact-MH branch.
+    ``pns``/``props`` are A_n-pre-scaled by the driver."""
     gi = pl.program_id(0)
-    mask = _gmask(G, Gt)
     data = data_ref[:]
     E = E_ref[:]
     en = en_ref[:]
-    pn = pn_ref[:]
-    an = an_ref[0, 0]
-    prop = prop_ref[:]                   # (K, 1)
+    pns = pns_ref[:]                     # (K, 1) — A_n * P_n
+    props = props_ref[:]                 # (K, 1) — A_n * proposal
     Mh = _mhat_tile(PA_ref, E, N)
-    Mh_no = Mh - an * pn * en
+    Mh_no = Mh - pns * en
     lam = jnp.maximum(Mh, _FLOOR)
-    lam_new = jnp.maximum(Mh_no + an * prop * en, _FLOOR)
+    lam_new = jnp.maximum(Mh_no + props * en, _FLOOR)
     d = lam_new - lam
     lp = data * jnp.log1p(d / lam) - d
     invr = 1.0 / lam_new                 # == 1 / sig_r
     resid = data - Mh_no
 
-    @pl.when(gi == 0)
-    def _init():
-        lp_ref[:] = jnp.zeros(lp_ref.shape, lp_ref.dtype)
-        mu1r_ref[:] = jnp.zeros(mu1r_ref.shape, mu1r_ref.dtype)
-        denr_ref[:] = jnp.zeros(denr_ref.shape, denr_ref.dtype)
+    def accum(w):
+        lp_ref[:] += jnp.sum(w(lp), axis=1, keepdims=True)
+        mu1r_ref[:] += jnp.sum(w(resid * invr * en), axis=1, keepdims=True)
+        denr_ref[:] += jnp.sum(w(invr * (en * en)), axis=1, keepdims=True)
 
-    lp_ref[:] += jnp.sum(jnp.where(mask, lp, 0.0), axis=1, keepdims=True)
-    mu1r_ref[:] += jnp.sum(jnp.where(mask, resid * invr * en, 0.0),
-                           axis=1, keepdims=True)
-    denr_ref[:] += jnp.sum(jnp.where(mask, invr * (en * en), 0.0),
-                           axis=1, keepdims=True)
+    _acc_guard(G, Gt, gi, (lp_ref, mu1r_ref, denr_ref), accum)
 
 
 def _erow_stats_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
-                       an_ref, mu1_ref, den_ref):
+                       mu1_ref, den_ref):
     """Forward-conditional sums for one E row over one G tile (reduction is
-    over K, entirely inside the tile — outputs are (1, Gt) blocks)."""
+    over K, entirely inside the tile — outputs are (1, Gt) blocks, stores
+    bound-clipped by Pallas on the ragged edge). ``ens`` is A_n * E_n;
+    ``pn`` stays raw (it is the reduction weight)."""
     data = data_ref[:]
     E = E_ref[:]
-    en = en_ref[:]
-    pn = pn_ref[:]
-    an = an_ref[0, 0]
+    ens = en_ref[:]                      # (1, Gt) — A_n * E_n
+    pn = pn_ref[:]                       # (K, 1)  — raw P_n (weight)
     Mh = _mhat_tile(PA_ref, E, N)
-    sig = jnp.maximum(Mh, _FLOOR)
-    inv = 1.0 / sig
-    resid = data - (Mh - an * pn * en)
+    inv = 1.0 / jnp.maximum(Mh, _FLOOR)
+    resid = data - (Mh - pn * ens)
     mu1_ref[:] = jnp.sum(resid * inv * pn, axis=0, keepdims=True)
     den_ref[:] = jnp.sum(inv * (pn * pn), axis=0, keepdims=True)
 
 
 def _erow_accept_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
-                        an_ref, prop_ref, lp_ref, mu1r_ref, denr_ref):
+                        prop_ref, lp_ref, mu1r_ref, denr_ref):
     data = data_ref[:]
     E = E_ref[:]
-    en = en_ref[:]
+    ens = en_ref[:]                      # (1, Gt) — A_n * E_n
     pn = pn_ref[:]
-    an = an_ref[0, 0]
-    prop = prop_ref[:]                   # (1, Gt)
+    props = prop_ref[:]                  # (1, Gt) — A_n * proposal
     Mh = _mhat_tile(PA_ref, E, N)
-    Mh_no = Mh - an * pn * en
+    Mh_no = Mh - pn * ens
     lam = jnp.maximum(Mh, _FLOOR)
-    lam_new = jnp.maximum(Mh_no + an * pn * prop, _FLOOR)
+    lam_new = jnp.maximum(Mh_no + pn * props, _FLOOR)
     d = lam_new - lam
     lp = data * jnp.log1p(d / lam) - d
     invr = 1.0 / lam_new
@@ -177,7 +193,6 @@ def _acol_delta_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
     [+ contrib], floor) — the single reduction sweep_A needs per column,
     without an HBM-resident Mhat."""
     gi = pl.program_id(0)
-    mask = _gmask(G, Gt)
     data = data_ref[:]
     E = E_ref[:]
     en = en_ref[:]
@@ -190,12 +205,10 @@ def _acol_delta_kernel(N, G, Gt, data_ref, E_ref, PA_ref, en_ref, pn_ref,
     lam_on = jnp.maximum(Mh_off + contrib, _FLOOR)
     d = lam_on - lam_off
 
-    @pl.when(gi == 0)
-    def _init():
-        delta_ref[:] = jnp.zeros(delta_ref.shape, delta_ref.dtype)
+    def accum(w):
+        delta_ref[:] += jnp.sum(w(data * jnp.log1p(d / lam_off) - d))
 
-    delta_ref[:] += jnp.sum(
-        jnp.where(mask, data * jnp.log1p(d / lam_off) - d, 0.0))
+    _acc_guard(G, Gt, gi, (delta_ref,), accum)
 
 
 @jax.jit
@@ -233,7 +246,6 @@ def _chain_metrics_kernel(N, G, Gt, data_ref, E_ref, PA_ref,
     path's replacement for the (C, K, G) `mhat` the metrics row otherwise
     forces (models/gibbs._metrics_row)."""
     gi = pl.program_id(0)
-    mask = _gmask(G, Gt)
     data = data_ref[:]
     E = E_ref[:]
     Mh = _mhat_tile(PA_ref, E, N)
@@ -241,16 +253,14 @@ def _chain_metrics_kernel(N, G, Gt, data_ref, E_ref, PA_ref,
     L = jnp.log(lam)
     d = Mh - data
 
-    @pl.when(gi == 0)
-    def _init():
-        for r in (mloglam_ref, lamsum_ref, mploglam_ref, sqerr_ref):
-            r[:] = jnp.zeros(r.shape, r.dtype)
+    def accum(w):
+        mloglam_ref[:] += jnp.sum(w(data * L))
+        lamsum_ref[:] += jnp.sum(w(lam))
+        mploglam_ref[:] += jnp.sum(w(jnp.maximum(data, 1e-6) * L))
+        sqerr_ref[:] += jnp.sum(w(d * d))
 
-    mloglam_ref[:] += jnp.sum(jnp.where(mask, data * L, 0.0))
-    lamsum_ref[:] += jnp.sum(jnp.where(mask, lam, 0.0))
-    mploglam_ref[:] += jnp.sum(jnp.where(mask, jnp.maximum(data, 1e-6) * L,
-                                         0.0))
-    sqerr_ref[:] += jnp.sum(jnp.where(mask, d * d, 0.0))
+    _acc_guard(G, Gt, gi, (mloglam_ref, lamsum_ref, mploglam_ref, sqerr_ref),
+               accum)
 
 
 @jax.jit
@@ -296,7 +306,6 @@ def _specs(K, N, G, Gt, col: bool, with_prop: bool):
         pl.BlockSpec((K, N), lambda i: (0, 0), memory_space=vmem),    # PA
         pl.BlockSpec((1, Gt), lambda i: (0, i), memory_space=vmem),   # en
         pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=vmem),    # pn
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=vmem),    # an
     ]
     if with_prop:
         ins.append(pl.BlockSpec((K, 1) if col else (1, Gt),
@@ -313,7 +322,7 @@ def _specs(K, N, G, Gt, col: bool, with_prop: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("col", "with_prop"))
-def _run(data, E, PA, en, pn, an, prop, col: bool, with_prop: bool):
+def _run(data, E, PA, en, pn, prop, col: bool, with_prop: bool):
     K, N = PA.shape
     G = E.shape[1]
     Gt = _tile(G, K)
@@ -324,8 +333,7 @@ def _run(data, E, PA, en, pn, an, prop, col: bool, with_prop: bool):
         (False, False): _erow_stats_kernel,
         (False, True): _erow_accept_kernel,
     }[(col, with_prop)]
-    args = [data, E, PA, en.reshape(1, G), pn.reshape(K, 1),
-            an.reshape(1, 1)]
+    args = [data, E, PA, en.reshape(1, G), pn.reshape(K, 1)]
     if with_prop:
         args.append(prop.reshape((K, 1) if col else (1, G)))
     res = pl.pallas_call(
@@ -341,17 +349,23 @@ def _run(data, E, PA, en, pn, an, prop, col: bool, with_prop: bool):
     return tuple(r.reshape(G) for r in res)          # (G,)
 
 
-def pcol_stats(data, E, PA, en, pn, an):
-    return _run(data, E, PA, en, pn, an, None, col=True, with_prop=False)
+# Pre-scaling contract (the A_n multiply never reaches the per-element
+# work): P-column kernels take pn = A_n*P_n and prop = A_n*proposal with en
+# raw; E-row kernels take en = A_n*E_n and prop = A_n*proposal with pn raw.
+
+def pcol_stats(data, E, PA, en, pn_scaled):
+    return _run(data, E, PA, en, pn_scaled, None, col=True, with_prop=False)
 
 
-def pcol_accept(data, E, PA, en, pn, an, prop):
-    return _run(data, E, PA, en, pn, an, prop, col=True, with_prop=True)
+def pcol_accept(data, E, PA, en, pn_scaled, prop_scaled):
+    return _run(data, E, PA, en, pn_scaled, prop_scaled, col=True,
+                with_prop=True)
 
 
-def erow_stats(data, E, PA, en, pn, an):
-    return _run(data, E, PA, en, pn, an, None, col=False, with_prop=False)
+def erow_stats(data, E, PA, en_scaled, pn):
+    return _run(data, E, PA, en_scaled, pn, None, col=False, with_prop=False)
 
 
-def erow_accept(data, E, PA, en, pn, an, prop):
-    return _run(data, E, PA, en, pn, an, prop, col=False, with_prop=True)
+def erow_accept(data, E, PA, en_scaled, pn, prop_scaled):
+    return _run(data, E, PA, en_scaled, pn, prop_scaled, col=False,
+                with_prop=True)
