@@ -285,3 +285,17 @@ def test_geweke_joint_fused_production_scale():
     z = (m_s - m_m) / np.sqrt(se_s**2 + se_m**2)
     assert np.all(np.abs(z) < 8.0), (
         f"Geweke mismatch at production scale: z={z}, succ={m_s}, marg={m_m}")
+
+
+@pytest.mark.slow
+def test_geweke_joint_stream_sweeps():
+    """Joint invariance of the STREAMING sweep path (large-G ensembles,
+    ops/pallas_stream_sweeps) — belt and braces on top of the draw-for-draw
+    equivalence tests: the streamed reductions + streamed metrics leave the
+    joint p(params, data) invariant on their own."""
+    spec = ModelSpec(K=K, N=N, G=G, likelihood="poisson",
+                     prior="truncnormal", MH=True, stream_sweeps=True)
+    hp = fixed_hp(spec)
+    z, m_s, m_m = _geweke_z(spec, hp)
+    assert np.all(np.abs(z) < 6.0), (
+        f"Geweke mismatch for stream_sweeps: z={z}, succ={m_s}, marg={m_m}")
