@@ -44,4 +44,8 @@ def __getattr__(name):
         from .utils.postprocessing import summarize_samplers
 
         return summarize_samplers
+    if name == "ChainEnsemble":
+        from .parallel.ensemble import ChainEnsemble
+
+        return ChainEnsemble
     raise AttributeError(name)
