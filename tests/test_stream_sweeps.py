@@ -230,3 +230,42 @@ def test_stream_sbfi_chunk_runs_and_matches():
     np.testing.assert_array_equal(rows[True][..., 7], rows[False][..., 7])
     np.testing.assert_allclose(rows[True][..., 1:5], rows[False][..., 1:5],
                                rtol=5e-4, atol=5e-4)
+
+
+def test_stream_path_full_history_resume_compaction(tmp_path):
+    """Seam coverage: the streaming path composed with record_history='full',
+    mid-run checkpoint/resume (bit-exact), and live-chain compaction — the
+    kind of untested combination that produced round 4's mesh+full crash."""
+    from bayesnmf_tpu.config import ConvergenceControl
+    from bayesnmf_tpu.parallel.ensemble import ChainEnsemble
+
+    rng = np.random.default_rng(8)
+    P = rng.dirichlet(np.ones(16) * 0.5, 3).T * 40
+    E = rng.gamma(2.0, 2.0, (3, 24))
+    M = rng.poisson(P @ E).astype(np.float32)
+    cc = ConvergenceControl(MAP_over=20, MAP_every=10, miniters=40,
+                            maxiters=40, Ninarow_nochange=99,
+                            Ninarow_nobest=99)
+    kw = dict(likelihood="poisson", prior="truncnormal", MH=True,
+              convergence_control=cc, post_warmup=10, seed=2,
+              output_dir=None, stream_sweeps=True, record_history="full",
+              save_all_samples=True)
+    e1 = ChainEnsemble(M, 3, n_chains=3, **kw)
+    e1.run()
+    s = e1.chain(0).samples
+    for k in ("P", "E", "A", "Mu_p", "acc_P", "acc_E"):
+        assert k in s, k
+
+    e2 = ChainEnsemble(M, 3, n_chains=3, **kw)
+    e2._run_chunk(19)
+    path = str(tmp_path / "stream_ens.ckpt")
+    e2.save_object(path)
+    e3 = ChainEnsemble.load(path)
+    assert e3.spec.stream_sweeps
+    e3.run()
+    # bit-exact resume: device states carry the RNG keys
+    np.testing.assert_array_equal(
+        np.asarray(e1.states["params"]["P"]),
+        np.asarray(e3.states["params"]["P"]))
+    # the resumed run kept archiving: full history covers the whole run
+    assert e3.chain(1)._archive is not None
