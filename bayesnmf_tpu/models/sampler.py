@@ -250,9 +250,21 @@ class GibbsSampler:
         self._window.append(chunk)
         self._metric_rows.append(np.asarray(samples["metrics"]))
         if self._archive is not None:
-            extra = jax.tree.map(
-                np.asarray,
-                {k: v for k, v in samples.items() if k != "metrics"})
+            # issue ASYNC device->host copies now and materialize this chunk
+            # at the NEXT boundary: the transfer overlaps the following
+            # chunk's device compute instead of stalling the driver (a
+            # synchronous pull cost ~200 ms/chunk at PCAWG size through the
+            # relay — measured, BENCH_NOTES config-4 note). At most one
+            # chunk of history occupies HBM beyond the retained window.
+            extra = {k: v for k, v in samples.items() if k != "metrics"}
+            jax.tree.map(
+                lambda x: x.copy_to_host_async()
+                if hasattr(x, "copy_to_host_async") else None, extra)
+            if self._archive:
+                self._archive[-1] = {
+                    k: (v if k == "start_iter" else jax.tree.map(np.asarray,
+                                                                 v))
+                    for k, v in self._archive[-1].items()}
             self._archive.append(extra | {"start_iter": start_iter})
 
     def _gather_window(self, end_iter: int, n_samples: int):

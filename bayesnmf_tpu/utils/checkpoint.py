@@ -38,7 +38,10 @@ def save_sampler(sampler, path: str):
         "MAP_metrics": sampler.MAP_metrics,
         "metric_rows": sampler._metric_rows,
         "window": [_to_host(c) for c in sampler._window],
-        "archive": sampler._archive,
+        # the newest archive chunk may still be a device array (async
+        # transfer pattern, sampler._append_chunk) — force to host
+        "archive": ([_to_host(c) for c in sampler._archive]
+                    if sampler._archive is not None else None),
         "MAP": _to_host(sampler.MAP) if sampler.MAP is not None else None,
         "output_dir": sampler.output_dir,
         "row_names": getattr(sampler, "row_names", None),
