@@ -8,22 +8,28 @@ pure HBM bandwidth — measured ~102 ms/iter, i.e. ~80+ GB of traffic.
 
 These kernels make the Mhat-typed traffic disappear: per column update, two
 grid-over-G-tiles kernels recompute the Mhat tile IN VMEM from P (K, N) and
-the E tile (N, Gt) — N broadcast-FMAs, VPU-cheap — and emit only the per-tile
-partial reductions (a (K, n_tiles) stub for P columns, a (1, G) row for E
-rows). HBM traffic per column drops to: read data + read E, twice. Mhat is
-no longer sampler state at all on this path (models/gibbs.py recomputes it
-once for the metrics row).
+the E tile (N, Gt) on the MXU (``_mhat_tile``) and emit only the conditional
+reductions — (K,)-shaped sums accumulated across the sequential grid in
+(K, 128) lane-broadcast blocks for P columns, (1, G) rows for E rows. The
+SBFI/BFI inclusion sweep (``acol_delta``) and the per-iteration metrics row
+(``chain_metrics``) stream the same way, so on this path NO (chains, K, G)
+tensor exists anywhere: HBM traffic per column update is two reads of
+data + E, and memory is O(chains * N * G) — the full 256-chain x 96x100k
+BASELINE shape fits one chip. The measured regime is VPU-bound, not
+HBM-bound (BENCH_NOTES "Config 5 attacked" roofline).
 
 The sampling math is IDENTICAL to updates.sweep_P/sweep_E exact-MH poisson
 path (MH_Pn_poisson, sample_Pn.R:199-248, with the exact TruncNormal
 Hastings correction): the same conditional mean/variance, the same reverse
 -conditional, the same clamped-NaN fallback — only the reduction provider
 changed. Equivalence is pinned by tests/test_stream_sweeps.py against the
-XLA path at matched keys.
+XLA path at matched keys, plus a dedicated Geweke joint gate
+(test_geweke.py::test_geweke_joint_stream_sweeps, compiled on-chip too).
 
-vmap-safety: no cross-grid accumulation and no program_id use — each tile
-writes its own output block, host code sums the (K, n_tiles) stubs — so
-vmapping over a chain axis just prepends a batch grid dimension.
+vmap-safety: ``program_id(0)`` remains the declared G grid axis under vmap
+(pallas batching remaps program ids to the user grid — verified, and the
+vmapped equivalence test would fail loudly on a semantics change), so the
+sequential-grid accumulators batch cleanly over a chain axis.
 """
 
 from __future__ import annotations
@@ -36,7 +42,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _FLOOR = 1e-6   # MHAT_FLOOR (ops/math.py) as a python float for the kernel
-_TINY = 1.2e-38
 
 
 def _mhat_tile(PA_ref, E, N):
